@@ -1,0 +1,140 @@
+"""Single source of truth for experiment configuration.
+
+Mirrors the reference CLI flag surface (reference: src/runners/run.py:147-261)
+as one serialisable dataclass.  Field names keep CLI-name compatibility so the
+reproduction commands in the reference README work verbatim against our
+runner.  The reference duplicates defaults in three places (argparse,
+utils.DEFAULT_DIC, test OPT); here there is exactly one.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from math import inf
+from typing import List, Optional
+
+
+@dataclass
+class Config:
+    # ---- data settings (run.py:149-168) ----
+    dataset_name: str = "Cora"
+    val_pct: float = 0.1
+    test_pct: float = 0.2
+    train_samples: float = inf  # number of training edges, or fraction if < 1
+    val_samples: float = inf
+    test_samples: float = inf
+    preprocessing: Optional[str] = None
+    sign_k: int = 0
+    load_features: bool = False
+    load_hashes: bool = False
+    cache_subgraph_features: bool = False
+    train_cache_size: float = inf
+    year: int = 0  # ogbl-collab: drop training edges before this year
+
+    # ---- GNN settings (run.py:170-180) ----
+    model: str = "BUDDY"
+    hidden_channels: int = 1024
+    batch_size: int = 1024
+    eval_batch_size: int = 1000000
+    label_dropout: float = 0.5
+    feature_dropout: float = 0.5
+    sign_dropout: float = 0.5
+    save_model: bool = False
+    feature_prop: str = "gcn"  # gcn | residual | cat
+
+    # ---- SEAL settings (run.py:182-194) ----
+    dropout: float = 0.5
+    num_seal_layers: int = 3
+    sortpool_k: float = 0.6
+    label_pooling: str = "add"
+    seal_pooling: str = "edge"
+    num_hops: int = 1
+    ratio_per_hop: float = 1.0
+    max_nodes_per_hop: Optional[int] = None
+    node_label: str = "drnl"
+    max_dist: int = 4
+    max_z: int = 1000
+    dynamic_train: bool = False
+    dynamic_val: bool = False
+    dynamic_test: bool = False
+    pretrained_node_embedding: Optional[str] = None
+    sample_size: Optional[int] = None  # SEAL cache naming (datasets/seal.py:162)
+    data_appendix: str = ""
+
+    # ---- feature toggles (run.py:195-200) ----
+    use_feature: bool = True
+    use_struct_feature: bool = True
+    use_edge_weight: bool = False
+
+    # ---- training settings (run.py:202-214) ----
+    lr: float = 1e-4
+    weight_decay: float = 0.0
+    epochs: int = 100
+    num_workers: int = 4
+    num_negs: int = 1
+    train_node_embedding: bool = False
+    propagate_embeddings: bool = False
+    loss: str = "bce"  # bce | auc
+    add_normed_features: bool = False
+    use_RA: bool = False
+
+    # ---- eval settings (run.py:223-229) ----
+    reps: int = 1
+    use_valedges_as_input: bool = False
+    eval_steps: int = 1
+    log_steps: int = 1
+    eval_metric: str = "hits"  # hits | mrr | auc
+    K: int = 100
+
+    # ---- hash settings (run.py:231-240) ----
+    use_zero_one: bool = False
+    floor_sf: bool = False
+    hll_p: int = 8
+    minhash_num_perm: int = 128
+    max_hash_hops: int = 2
+    subgraph_feature_batch_size: int = 11000000
+
+    # ---- logging (reference: wandb; here: metrics logger) ----
+    wandb: bool = False
+    log_features: bool = False
+
+    # ---- TPU-native additions (no reference equivalent) ----
+    seed: int = 0
+    dtype: str = "float32"  # compute dtype for the MLP/conv path
+    use_pallas: bool = True  # use Pallas kernels where available
+    mesh_shape: Optional[List[int]] = None  # e.g. [8] for 8-way data parallel
+    mesh_axes: List[str] = field(default_factory=lambda: ["data"])
+    checkpoint_dir: Optional[str] = None
+    cache_dir: Optional[str] = None  # preprocessing cache root
+    data_root: Optional[str] = None  # dataset download/storage root
+
+    def __post_init__(self):
+        if self.max_hash_hops == 1 and not self.use_zero_one:
+            # reference warns and runs with all features (run.py:262-263)
+            self.use_zero_one = True
+        if self.dataset_name == "ogbl-ddi":
+            # ddi has no node features (run.py:264-266)
+            self.use_feature = False
+
+    # -- serialisation ------------------------------------------------------
+    def to_json(self) -> str:
+        d = dataclasses.asdict(self)
+        for k, v in d.items():
+            if v == inf:
+                d[k] = "inf"
+        return json.dumps(d, indent=2)
+
+    @classmethod
+    def from_json(cls, s: str) -> "Config":
+        d = json.loads(s)
+        for k, v in d.items():
+            if v == "inf":
+                d[k] = inf
+        return cls(**d)
+
+    @property
+    def sf_dim(self) -> int:
+        """Structure-feature dimension: k(k+2) (reference hashing.py:22-25)."""
+        return self.max_hash_hops * (self.max_hash_hops + 2)

@@ -1,0 +1,46 @@
+"""Synthetic graph generators (host, numpy).
+
+The reference test-suite builds Barabási–Albert graphs via networkx
+(test/test_hashing.py:22-31); we generate them directly so CI needs neither
+networkx nor a network connection.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def barabasi_albert_graph(n: int, m: int, seed: int = 0) -> np.ndarray:
+    """Undirected BA preferential-attachment graph.
+
+    Returns a symmetric edge_index [2, 2*E] int32 (both directions, no
+    self-loops, no duplicates).
+    """
+    rng = np.random.default_rng(seed)
+    targets = list(range(m))
+    repeated: list[int] = []
+    edges = set()
+    for v in range(m, n):
+        for t in set(targets):
+            if v != t:
+                edges.add((min(v, t), max(v, t)))
+        repeated.extend(targets)
+        repeated.extend([v] * m)
+        # sample m targets (with preferential attachment) for the next node
+        targets = [repeated[rng.integers(len(repeated))] for _ in range(m)]
+    e = np.array(sorted(edges), dtype=np.int32).T
+    both = np.concatenate([e, e[::-1]], axis=1)
+    order = np.lexsort((both[1], both[0]))
+    return both[:, order]
+
+
+def erdos_renyi_graph(n: int, p: float, seed: int = 0) -> np.ndarray:
+    """Undirected G(n, p) graph as a symmetric edge_index [2, 2*E] int32."""
+    rng = np.random.default_rng(seed)
+    upper = rng.random((n, n)) < p
+    upper = np.triu(upper, k=1)
+    r, c = np.nonzero(upper)
+    e = np.stack([r, c]).astype(np.int32)
+    both = np.concatenate([e, e[::-1]], axis=1)
+    order = np.lexsort((both[1], both[0]))
+    return both[:, order]

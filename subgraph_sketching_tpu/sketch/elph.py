@@ -1,0 +1,204 @@
+"""ELPH sketch engine: hash-table construction and subgraph features.
+
+TPU-native equivalent of the reference's ``ElphHashes``
+(src/hashing.py:48-323).  Hop-0 sketches are initialised on host (bit-exact
+64-bit hashing, see node_hash.py); everything else runs on device with static
+shapes:
+
+  * k-hop propagation = segment-min (minhash) / segment-max (HLL) over the
+    edge list including self (the reference adds explicit self-loops,
+    src/hashing.py:148; we fold self in via a final elementwise min/max,
+    which is equivalent because min/max are idempotent).
+  * subgraph features for a batch of links = gathers of per-hop sketch rows +
+    the hop-pair inclusion-exclusion ladder (src/hashing.py:258-323).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from subgraph_sketching_tpu.ops.segment import segment_max, segment_min
+from subgraph_sketching_tpu.sketch.hll import hll_count, hll_init
+from subgraph_sketching_tpu.sketch.minhash import jaccard, minhash_init
+from subgraph_sketching_tpu.sketch.params import SketchParams, Sketches
+
+
+def propagate_minhash(mh: jnp.ndarray, src: jnp.ndarray, dst: jnp.ndarray,
+                      num_nodes: int, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """One hop of minhash propagation: out[v] = min(mh[v], min_{(u,v)} mh[u]).
+
+    Equivalent to the reference's max-aggregation over negated values with
+    self-loops (src/hashing.py:28-36, 148).
+    """
+    agg = segment_min(mh[src], dst, num_nodes, mask=mask)
+    return jnp.minimum(mh, agg)
+
+
+def propagate_hll(hll: jnp.ndarray, src: jnp.ndarray, dst: jnp.ndarray,
+                  num_nodes: int, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """One hop of HLL propagation: out[v] = max(hll[v], max_{(u,v)} hll[u]).
+
+    (src/hashing.py:38-45, 148.)
+    """
+    agg = segment_max(hll[src], dst, num_nodes, mask=mask)
+    return jnp.maximum(hll, agg)
+
+
+def initialise_sketches(num_nodes: int, params: SketchParams
+                        ) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side hop-0 state: (minhash uint32 [n,P], hll int8 [n,m])."""
+    mh0 = minhash_init(num_nodes, params.num_perm, params.minhash_seed)
+    hll0 = hll_init(num_nodes, params.hll_p)
+    return mh0, hll0
+
+
+def build_hash_tables(edge_index: jnp.ndarray, num_nodes: int,
+                      params: SketchParams,
+                      mask: Optional[jnp.ndarray] = None,
+                      init: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+                      ) -> Sketches:
+    """All per-hop sketches + cardinalities (reference src/hashing.py:139-165).
+
+    edge_index: [2, E] int32 (may be padded; pass ``mask``).
+    init: optional precomputed hop-0 (minhash, hll) device arrays — pass these
+    when calling inside jit (host init is not traceable).
+    """
+    assert params.max_hops in (1, 2, 3), \
+        f"hashing is not implemented for {params.max_hops} hops"
+    if init is None:
+        mh0, hll0 = initialise_sketches(num_nodes, params)
+        mh0, hll0 = jnp.asarray(mh0), jnp.asarray(hll0)
+    else:
+        mh0, hll0 = init
+    src, dst = edge_index[0], edge_index[1]
+
+    mhs, hlls, cards = [mh0], [hll0], []
+    for _ in range(params.max_hops):
+        mhs.append(propagate_minhash(mhs[-1], src, dst, num_nodes, mask))
+        hlls.append(propagate_hll(hlls[-1], src, dst, num_nodes, mask))
+        cards.append(hll_count(hlls[-1], params.hll_p))
+    return Sketches(minhash=jnp.stack(mhs), hll=jnp.stack(hlls),
+                    cards=jnp.stack(cards, axis=1))
+
+
+def _pairwise_intersections(links: jnp.ndarray, sk: Sketches,
+                            params: SketchParams) -> jnp.ndarray:
+    """intersections[b, k1-1, k2-1] = |N_k1(u) ∩ N_k2(v)| estimates.
+
+    jaccard(minhash_u^k1, minhash_v^k2) * hll_count(union) for every hop pair
+    (reference src/hashing.py:167-189).  One gather per (side, hop), then all
+    K^2 pairs are formed from the gathered rows.
+    """
+    K = params.max_hops
+    u, v = links[:, 0], links[:, 1]
+    # [K, B, P] / [K, B, m] gathers of hop 1..K rows
+    mh_u = sk.minhash[1:, u, :]
+    mh_v = sk.minhash[1:, v, :]
+    hll_u = sk.hll[1:, u, :]
+    hll_v = sk.hll[1:, v, :]
+
+    jac = jaccard(mh_u[:, None], mh_v[None, :])            # [K, K, B]
+    unions = jnp.maximum(hll_u[:, None], hll_v[None, :])   # [K, K, B, m]
+    union_size = hll_count(unions, params.hll_p)           # [K, K, B]
+    inter = jac * union_size
+    return jnp.transpose(inter, (2, 0, 1))                 # [B, K, K]
+
+
+def subgraph_features(links: jnp.ndarray, sk: Sketches,
+                      params: SketchParams) -> jnp.ndarray:
+    """Structure features for a batch of links: [B, k(k+2)] float32.
+
+    The inclusion-exclusion ladder converting hop-pair intersection estimates
+    and per-hop cardinalities into disjoint (d_u, d_v) region counts, in the
+    exact column order of LABEL_LOOKUP (reference src/hashing.py:258-323).
+    Zero-one knockout and flooring match src/hashing.py:310-320.
+    """
+    K = params.max_hops
+    inter = _pairwise_intersections(links, sk, params)      # [B, K, K]
+    cu = sk.cards[links[:, 0]]                              # [B, K] |N_k(u)|
+    cv = sk.cards[links[:, 1]]                              # [B, K] |N_k(v)|
+
+    def I(k1, k2):  # noqa: E743 — intersection estimate, 1-indexed hops
+        return inter[:, k1 - 1, k2 - 1]
+
+    f = []  # built in LABEL_LOOKUP column order
+    f01 = I(1, 1)                                          # (1,1)
+    f.append(f01)
+    if K == 1:
+        f.append(cv[:, 0] - f01)                           # (0,1)
+        f.append(cu[:, 0] - f01)                           # (1,0)
+    elif K == 2:
+        f21 = I(2, 1) - f01
+        f12 = I(1, 2) - f01
+        f22 = I(2, 2) - f01 - f21 - f12
+        f_0_1 = cv[:, 0] - f01 - f21
+        f_1_0 = cu[:, 0] - f01 - f12
+        f_0_2 = cv[:, 1] - (f01 + f21 + f12 + f22 + f_0_1)
+        f_2_0 = cu[:, 1] - f01 - (f01 + f21 + f12 + f22) - f_1_0
+        f += [f21, f12, f22, f_0_1, f_1_0, f_0_2, f_2_0]
+    else:  # K == 3
+        f21 = I(2, 1) - f01
+        f12 = I(1, 2) - f01
+        f22 = I(2, 2) - f01 - f21 - f12
+        f31 = I(3, 1) - f01 - f21
+        f13 = I(1, 3) - f01 - f12
+        s4 = f01 + f21 + f12 + f22                          # sum of first 4
+        f32 = I(3, 2) - s4 - f31
+        f23 = I(2, 3) - s4 - f13
+        s8 = s4 + f31 + f13 + f32 + f23                     # sum of first 8
+        f33 = I(3, 3) - s8
+        f_0_1 = cv[:, 0] - f01 - f21 - f31
+        f_1_0 = cu[:, 0] - f01 - f12 - f13
+        s5 = s4 + f31                                       # sum of first 5
+        f_0_2 = cv[:, 1] - s5 - f32 - f_0_1
+        f_2_0 = cu[:, 1] - s5 - f23 - f_1_0
+        s9 = s8 + f33                                       # sum of first 9
+        f_0_3 = cv[:, 2] - s9 - f_0_1 - f_0_2
+        f_3_0 = cu[:, 2] - s9 - f_1_0 - f_2_0
+        f += [f21, f12, f22, f31, f13, f32, f23, f33,
+              f_0_1, f_1_0, f_0_2, f_2_0, f_0_3, f_3_0]
+
+    feats = jnp.stack(f, axis=1).astype(jnp.float32)
+
+    if not params.use_zero_one:
+        # positive edges at distance 1 from u must be at distance <= 2 from v,
+        # so (0,1)/(1,0) (and (0,2)/(2,0) at 3 hops) carry no signal
+        # (src/hashing.py:310-317); knocked out for K >= 2 only.
+        knockout = []
+        if K == 2:
+            knockout = [4, 5]
+        elif K == 3:
+            knockout = [4, 5, 11, 12]
+        if knockout:
+            feats = feats.at[:, jnp.asarray(knockout)].set(0.0)
+    if params.floor_sf:
+        feats = jnp.maximum(feats, 0.0)  # counts can't be negative (:319-320)
+    return feats
+
+
+def subgraph_features_batched(links, sk: Sketches, params: SketchParams,
+                              batch_size: int = 1 << 18) -> jnp.ndarray:
+    """Compute subgraph features over link batches to bound device memory.
+
+    Mirrors the reference's 11M-link batching (src/hashing.py:258-270) but
+    with a power-of-two default tuned for TPU HBM.  The last batch is padded
+    to keep shapes static (one compiled program for all batches).
+    """
+    n = links.shape[0]
+    if n <= batch_size:
+        return subgraph_features(jnp.asarray(links), sk, params)
+    fn = jax.jit(lambda l: subgraph_features(l, sk, params))
+    out = []
+    for s in range(0, n, batch_size):
+        chunk = links[s:s + batch_size]
+        pad = batch_size - chunk.shape[0]
+        if pad:
+            chunk = jnp.concatenate([jnp.asarray(chunk),
+                                     jnp.zeros((pad, 2), dtype=chunk.dtype)])
+        res = fn(jnp.asarray(chunk))
+        out.append(res[:batch_size - pad] if pad else res)
+    return jnp.concatenate(out, axis=0)

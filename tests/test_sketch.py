@@ -1,0 +1,210 @@
+"""Sketch-engine tests.
+
+Follows the reference test strategy (SURVEY.md §4): sketch-vs-exact-set
+oracles on small random graphs, propagation/merge consistency, batched ==
+unbatched invariance, and exact-value unit tests for deterministic pieces.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from subgraph_sketching_tpu.graph.synthetic import barabasi_albert_graph
+from subgraph_sketching_tpu.sketch import (
+    SketchParams, build_hash_tables, subgraph_features, splitmix64,
+)
+from subgraph_sketching_tpu.sketch.elph import (
+    propagate_hll, propagate_minhash, subgraph_features_batched,
+)
+from subgraph_sketching_tpu.sketch.hll import hll_count, hll_init
+from subgraph_sketching_tpu.sketch.minhash import jaccard, minhash_init
+
+
+# ---------------------------------------------------------------- helpers --
+
+def exact_k_hop_sets(edge_index: np.ndarray, num_nodes: int, k: int):
+    """True closed k-hop neighbourhoods by repeated set expansion."""
+    adj = [set() for _ in range(num_nodes)]
+    for s, d in edge_index.T:
+        adj[int(s)].add(int(d))
+    hoods = [{v} for v in range(num_nodes)]
+    out = []
+    for _ in range(k):
+        nxt = []
+        for v in range(num_nodes):
+            s = set(hoods[v])
+            for u in range(num_nodes):
+                if v in adj[u]:
+                    s |= hoods[u]
+            nxt.append(s)
+        hoods = nxt
+        out.append([set(h) for h in hoods])
+    return out  # out[h-1][v] = closed h-hop neighbourhood of v
+
+
+# ------------------------------------------------------------------ hashing --
+
+def test_splitmix64_matches_pandas():
+    from pandas.util import hash_array
+    a = np.arange(1, 1001, dtype=np.int64)
+    np.testing.assert_array_equal(splitmix64(a.astype(np.uint64)),
+                                  hash_array(a))
+
+
+def test_minhash_init_range_and_shape():
+    mh = minhash_init(50, 128)
+    assert mh.shape == (50, 128)
+    assert mh.dtype == np.uint32
+    # rows must differ (distinct node hashes)
+    assert len({tuple(r) for r in mh}) == 50
+
+
+def test_hll_init_one_register_set():
+    regs = hll_init(50, 8)
+    assert regs.shape == (50, 256)
+    assert (np.count_nonzero(regs, axis=1) == 1).all()
+    assert regs.max() <= 56 and regs.min() >= 0
+
+
+def test_hll_count_accuracy():
+    # estimator oracle: random sets of known size, expect ~2%/sqrt relative err
+    rng = np.random.default_rng(1)
+    p, m = 8, 256
+    for true_card in [10, 100, 300, 1000, 5000, 50000]:
+        regs = np.zeros((20, m), dtype=np.int8)
+        for t in range(20):
+            h = rng.integers(0, 2 ** 64, size=true_card, dtype=np.uint64)
+            idx = (h & np.uint64(m - 1)).astype(np.int64)
+            bl = np.ceil(np.log2((h >> np.uint64(p)).astype(np.float64) + 1))
+            rank = (64 - p - bl + 1).astype(np.int8)
+            np.maximum.at(regs[t], idx, rank)
+        est = np.asarray(hll_count(jnp.asarray(regs), p))
+        rel = abs(est.mean() - true_card) / true_card
+        assert rel < 0.1, f"card {true_card}: est {est.mean():.1f} rel {rel:.3f}"
+
+
+def test_jaccard_exact_overlap():
+    a = jnp.arange(128, dtype=jnp.uint32)[None, :]
+    b = a.at[:, :64].set(999999)
+    assert float(jaccard(a, a)[0]) == 1.0
+    assert float(jaccard(a, b)[0]) == 0.5
+
+
+# ------------------------------------------------------------- propagation --
+
+def test_min_max_propagation_two_node_graph():
+    # exact-value check on a 2-node directed edge 0 -> 1 (cf. reference
+    # test_hashing.py:355-385)
+    src = jnp.array([0]); dst = jnp.array([1])
+    mh = jnp.array([[5, 7], [6, 3]], dtype=jnp.uint32)
+    out = propagate_minhash(mh, src, dst, 2)
+    np.testing.assert_array_equal(np.asarray(out), [[5, 7], [5, 3]])
+    hll = jnp.array([[5, 7], [6, 3]], dtype=jnp.int8)
+    out = propagate_hll(hll, src, dst, 2)
+    np.testing.assert_array_equal(np.asarray(out), [[5, 7], [6, 7]])
+
+
+def test_neighbour_merge_consistency(ba_graph):
+    # 2-hop sketch == merge of 1-hop sketches over closed neighbourhood
+    # (reference test_hashing.py:313-329)
+    n = 30
+    params = SketchParams(max_hops=2)
+    sk = build_hash_tables(jnp.asarray(ba_graph), n, params)
+    mh1 = np.asarray(sk.minhash[1])
+    hll1 = np.asarray(sk.hll[1])
+    adj_in = [[] for _ in range(n)]
+    for s, d in ba_graph.T:
+        adj_in[int(d)].append(int(s))
+    for v in range(n):
+        nbrs = adj_in[v] + [v]
+        np.testing.assert_array_equal(np.asarray(sk.minhash[2][v]),
+                                      mh1[nbrs].min(axis=0))
+        np.testing.assert_array_equal(np.asarray(sk.hll[2][v]),
+                                      hll1[nbrs].max(axis=0))
+
+
+# ---------------------------------------------------- sketch-vs-exact oracle --
+
+@pytest.mark.parametrize("max_hops", [1, 2, 3])
+def test_cards_match_exact_neighbourhoods(ba_graph, max_hops):
+    n = 30
+    params = SketchParams(max_hops=max_hops)
+    sk = build_hash_tables(jnp.asarray(ba_graph), n, params)
+    exact = exact_k_hop_sets(ba_graph, n, max_hops)
+    cards = np.asarray(sk.cards)
+    for k in range(max_hops):
+        true = np.array([len(s) for s in exact[k]], dtype=np.float32)
+        # hll tolerance: small graph -> linear counting regime, tight
+        np.testing.assert_allclose(cards[:, k], true, atol=4.0)
+
+
+@pytest.mark.parametrize("max_hops", [1, 2])
+def test_subgraph_features_match_exact_counts(ba_graph, max_hops):
+    """Every inclusion-exclusion feature approximates the exact disjoint
+    (d_u, d_v) region count (reference test_hashing.py:101-177)."""
+    from subgraph_sketching_tpu.sketch.params import LABEL_LOOKUP
+    n = 30
+    params = SketchParams(max_hops=max_hops, use_zero_one=True)
+    sk = build_hash_tables(jnp.asarray(ba_graph), n, params)
+    exact = exact_k_hop_sets(ba_graph, n, max_hops)
+
+    links = np.array([[0, 1], [3, 7], [10, 20], [5, 29]], dtype=np.int32)
+    feats = np.asarray(subgraph_features(jnp.asarray(links), sk, params))
+
+    def exact_region(u, v, du, dv):
+        # nodes at exactly hop du from u and exactly dv from v (0 = the node
+        # itself excluded: region (0, k) means "within k of v but unreachable
+        # in max_hops from u")
+        all_nodes = set(range(n))
+        hood_u = [ {u} ] + [exact[h][u] for h in range(max_hops)]
+        hood_v = [ {v} ] + [exact[h][v] for h in range(max_hops)]
+        def at_exact(hoods, d):
+            if d == 0:
+                return all_nodes - hoods[max_hops]
+            return hoods[d] - hoods[d - 1]
+        return len(at_exact(hood_u, du) & at_exact(hood_v, dv))
+
+    for li, (u, v) in enumerate(links):
+        for col, (du, dv) in LABEL_LOOKUP[max_hops].items():
+            true = exact_region(int(u), int(v), du, dv)
+            assert abs(feats[li, col] - true) <= 4.0, (
+                f"link ({u},{v}) feature ({du},{dv}): "
+                f"got {feats[li, col]:.2f}, exact {true}")
+
+
+def test_batched_equals_unbatched(ba_graph):
+    params = SketchParams(max_hops=2)
+    sk = build_hash_tables(jnp.asarray(ba_graph), 30, params)
+    links = np.stack([np.arange(20), (np.arange(20) + 7) % 30], axis=1).astype(np.int32)
+    full = np.asarray(subgraph_features(jnp.asarray(links), sk, params))
+    batched = np.asarray(subgraph_features_batched(links, sk, params, batch_size=6))
+    np.testing.assert_allclose(full, batched, rtol=1e-6)
+
+
+def test_feature_dim_identity():
+    # len(LABEL_LOOKUP[k]) == k(k+2) (reference test_hashing.py:196-198)
+    from subgraph_sketching_tpu.sketch.params import LABEL_LOOKUP
+    for k in (1, 2, 3):
+        assert len(LABEL_LOOKUP[k]) == k * (k + 2)
+        assert SketchParams(max_hops=k).sf_dim == k * (k + 2)
+
+
+def test_zero_one_knockout():
+    params = SketchParams(max_hops=2, use_zero_one=False)
+    g = barabasi_albert_graph(30, 5, seed=2)
+    sk = build_hash_tables(jnp.asarray(g), 30, params)
+    links = np.array([[0, 1], [2, 3]], dtype=np.int32)
+    feats = np.asarray(subgraph_features(jnp.asarray(links), sk, params))
+    assert (feats[:, [4, 5]] == 0).all()
+
+
+def test_padded_edges_equal_unpadded(ba_graph):
+    from subgraph_sketching_tpu.graph import Graph
+    params = SketchParams(max_hops=2)
+    g = Graph(ba_graph, 30)
+    ei, w, mask = g.padded_edges(multiple=512)
+    sk_pad = build_hash_tables(jnp.asarray(ei), 30, params,
+                               mask=jnp.asarray(mask))
+    sk = build_hash_tables(jnp.asarray(ba_graph), 30, params)
+    np.testing.assert_array_equal(np.asarray(sk_pad.minhash), np.asarray(sk.minhash))
+    np.testing.assert_array_equal(np.asarray(sk_pad.hll), np.asarray(sk.hll))
