@@ -1,0 +1,107 @@
+"""Headline benchmark: fused sketch-propagation throughput (edges/s/chip).
+
+This is the hot kernel of the whole framework (reference hot loop:
+scatter-max hash propagation, src/hashing.py:160-162 — "most of the runtime
+of BUDDY is building hashes and subgraph features", reference README:94).
+
+Measures one full hop of minhash(min) + HLL(max) propagation over a large
+random graph on the default device (the real TPU chip under the driver), and
+compares against a torch-CPU scatter_reduce baseline implementing the same
+semantics (the reference runs on CPU/torch).
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+NUM_NODES = 200_000
+AVG_DEG = 16  # E = 3.2M directed edges
+NUM_PERM = 128
+HLL_P = 8
+WARMUP = 2
+ITERS = 5
+
+
+def make_graph(rng):
+    e = NUM_NODES * AVG_DEG
+    src = rng.integers(0, NUM_NODES, e, dtype=np.int32)
+    dst = rng.integers(0, NUM_NODES, e, dtype=np.int32)
+    return src, dst
+
+
+def bench_tpu(src, dst, mh, hll):
+    import jax
+    import jax.numpy as jnp
+
+    from subgraph_sketching_tpu.sketch.elph import (
+        propagate_hll, propagate_minhash,
+    )
+
+    srcj, dstj = jnp.asarray(src), jnp.asarray(dst)
+    mhj, hllj = jnp.asarray(mh), jnp.asarray(hll)
+
+    @jax.jit
+    def one_hop(mh, hll):
+        return (propagate_minhash(mh, srcj, dstj, NUM_NODES),
+                propagate_hll(hll, srcj, dstj, NUM_NODES))
+
+    for _ in range(WARMUP):
+        out = one_hop(mhj, hllj)
+        jax.block_until_ready(out)
+    times = []
+    for _ in range(ITERS):
+        t0 = time.perf_counter()
+        out = one_hop(mhj, hllj)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    return len(src) / min(times)
+
+
+def bench_torch_cpu(src, dst, mh, hll):
+    import torch
+
+    srct = torch.from_numpy(src).long()
+    dstt = torch.from_numpy(dst).long()
+    mht = torch.from_numpy(mh.astype(np.int64))
+    hllt = torch.from_numpy(hll)
+
+    def one_hop():
+        out_mh = mht.clone()
+        out_mh.scatter_reduce_(0, dstt[:, None].expand(-1, NUM_PERM),
+                               mht[srct], reduce="amin")
+        out_hll = hllt.clone()
+        out_hll.scatter_reduce_(0, dstt[:, None].expand(-1, hll.shape[1]),
+                                hllt[srct], reduce="amax")
+        return out_mh, out_hll
+
+    one_hop()
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        one_hop()
+        times.append(time.perf_counter() - t0)
+    return len(src) / min(times)
+
+
+def main():
+    rng = np.random.default_rng(0)
+    src, dst = make_graph(rng)
+    mh = rng.integers(0, 2 ** 32 - 1, (NUM_NODES, NUM_PERM),
+                      dtype=np.uint32)
+    hll = rng.integers(0, 56, (NUM_NODES, 1 << HLL_P)).astype(np.int8)
+
+    tpu_eps = bench_tpu(src, dst, mh, hll)
+    base_eps = bench_torch_cpu(src, dst, mh, hll)
+    print(json.dumps({
+        "metric": "sketch_propagation_throughput",
+        "value": round(tpu_eps),
+        "unit": "edges/s",
+        "vs_baseline": round(tpu_eps / base_eps, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,181 @@
+"""Per-split preprocessing: the HashDataset equivalent.
+
+Produces everything BUDDY training needs as dense arrays — links+labels,
+SIGN-propagated node features, degrees, optional RA scores, sketches, and
+per-link subgraph features — with npz disk caching keyed like the reference
+(split, hops, sign_k, year, num_negs; src/datasets/elph.py:154-173).
+
+ELPH keeps raw x and computes sketches in-model; BUDDY hoists all
+graph-dependent work here (reference src/datasets/elph.py:21-242).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from time import time
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from subgraph_sketching_tpu.config import Config
+from subgraph_sketching_tpu.graph.container import Graph
+from subgraph_sketching_tpu.graph.splits import SplitData
+from subgraph_sketching_tpu.heuristics import resource_allocation
+from subgraph_sketching_tpu.ops.graph_ops import gcn_norm, spmm
+from subgraph_sketching_tpu.sketch.elph import (
+    build_hash_tables, subgraph_features_batched,
+)
+from subgraph_sketching_tpu.sketch.params import SketchParams, Sketches
+
+
+def sketch_params_from_config(cfg: Config) -> SketchParams:
+    return SketchParams(max_hops=cfg.max_hash_hops,
+                        num_perm=cfg.minhash_num_perm,
+                        hll_p=cfg.hll_p,
+                        use_zero_one=cfg.use_zero_one,
+                        floor_sf=cfg.floor_sf)
+
+
+@dataclass
+class LinkDataset:
+    """Fully hydrated split, ready to stream to the device."""
+
+    links: np.ndarray                 # [N, 2] int32 (pos ‖ neg)
+    labels: np.ndarray                # [N] float32
+    edge_index: np.ndarray            # [2, E] message-passing graph (undirected)
+    edge_weight: np.ndarray           # [E]
+    num_nodes: int
+    x: Optional[np.ndarray]           # node features (SIGN-propagated for BUDDY)
+    degrees: np.ndarray               # [n] weighted degrees
+    subgraph_features: Optional[np.ndarray] = None  # [N, sf_dim] (BUDDY)
+    RA: Optional[np.ndarray] = None   # [N]
+    sketches: Optional[Sketches] = None  # retained for ELPH-style eval
+
+    @property
+    def num_links(self) -> int:
+        return len(self.links)
+
+
+def sign_features(x: np.ndarray, edge_index: np.ndarray,
+                  edge_weight: Optional[np.ndarray], num_nodes: int,
+                  sign_k: int) -> np.ndarray:
+    """SIGN precompute (reference _generate_sign_features,
+    src/datasets/elph.py:87-110): gcn_norm then sign_k=0 -> one propagation
+    replacing x; sign_k>0 -> concat [x, Ax, ..., A^k x]."""
+    ei = jnp.asarray(edge_index)
+    ew = None if edge_weight is None else jnp.asarray(edge_weight)
+    nei, nw, _ = gcn_norm(ei, ew, num_nodes)
+    xj = jnp.asarray(x)
+    if sign_k == 0:
+        out = spmm(nei, nw, xj, num_nodes)
+        return np.asarray(out)
+    xs = [xj]
+    cur = xj
+    for _ in range(sign_k):
+        cur = spmm(nei, nw, cur, num_nodes)
+        xs.append(cur)
+    return np.asarray(jnp.concatenate(xs, axis=-1))
+
+
+def _cache_name(cfg: Config, split: str, kind: str) -> Optional[str]:
+    if not cfg.cache_dir:
+        return None
+    hop_str = "" if cfg.max_hash_hops == 2 else f"{cfg.max_hash_hops}hop_"
+    year_str = f"year_{cfg.year}" if (cfg.dataset_name == "ogbl-collab"
+                                      and cfg.year > 0) else ""
+    neg_str = ("" if cfg.num_negs == 1 or split != "train"
+               else f"negs{cfg.num_negs}_")
+    os.makedirs(cfg.cache_dir, exist_ok=True)
+    return os.path.join(
+        cfg.cache_dir,
+        f"{cfg.dataset_name}_{split}_{neg_str}{year_str}{hop_str}{kind}.npz")
+
+
+def build_link_dataset(split_data: SplitData, cfg: Config, split: str,
+                       model: Optional[str] = None) -> LinkDataset:
+    """Hydrate one split (reference HashDataset.__init__,
+    src/datasets/elph.py:27-85)."""
+    model = model or cfg.model
+    g = split_data.graph
+    if cfg.dataset_name == "ogbl-collab":
+        g = g.coalesce()  # compress multi-edges (src/datasets/elph.py:54-57)
+    # directed graphs (citation2) become undirected for propagation
+    # (src/datasets/elph.py:63-66); our splits are already symmetric for
+    # undirected data, so only do this when asymmetric
+    links = split_data.links.astype(np.int32)
+    labels = split_data.labels
+    degrees = g.degrees()
+
+    RA = None
+    if cfg.use_RA:
+        RA = resource_allocation(g.csr(), links, batch_size=2000000)
+
+    if model == "ELPH":
+        x = g.x  # ELPH propagates features in-model
+        return LinkDataset(links, labels, g.edge_index, g.weights, g.num_nodes,
+                           x, degrees, RA=RA)
+
+    # ---- BUDDY: precompute everything ----
+    feat_cache = _cache_name(cfg, split, f"k{cfg.sign_k}_features")
+    if feat_cache and cfg.load_features and os.path.exists(feat_cache):
+        x = np.load(feat_cache)["x"]
+    else:
+        x = None
+        if g.x is not None:
+            t0 = time()
+            x = sign_features(g.x, g.edge_index, g.edge_weight, g.num_nodes,
+                              cfg.sign_k)
+            if cfg.load_features and feat_cache:
+                np.savez(feat_cache, x=x)
+
+    sf_cache = _cache_name(cfg, split, "subgraph_features")
+    params = sketch_params_from_config(cfg)
+    sketches = None
+    if sf_cache and cfg.cache_subgraph_features and os.path.exists(sf_cache):
+        sf = np.load(sf_cache)["sf"]
+        assert sf.shape[0] == len(links), (
+            "cached subgraph features are inconsistent with the link object; "
+            "delete the cache file and regenerate")
+    else:
+        hash_cache = _cache_name(cfg, split, "hashes")
+        if hash_cache and cfg.load_hashes and os.path.exists(hash_cache):
+            z = np.load(hash_cache)
+            sketches = Sketches(minhash=jnp.asarray(z["minhash"]),
+                                hll=jnp.asarray(z["hll"]),
+                                cards=jnp.asarray(z["cards"]))
+        else:
+            sketches = build_hash_tables(jnp.asarray(g.edge_index),
+                                         g.num_nodes, params)
+            if hash_cache and cfg.load_hashes:
+                np.savez(hash_cache, minhash=np.asarray(sketches.minhash),
+                         hll=np.asarray(sketches.hll),
+                         cards=np.asarray(sketches.cards))
+        sf = np.asarray(subgraph_features_batched(
+            links, sketches, params,
+            batch_size=min(cfg.subgraph_feature_batch_size, 1 << 18)))
+        if sf_cache and cfg.cache_subgraph_features:
+            np.savez(sf_cache, sf=sf)
+
+    # floor / zero-one knockout also applied post-cache like the reference
+    # (src/datasets/elph.py:214-222)
+    sf = np.array(sf)  # own writable copy (np.asarray of a jax array is r/o)
+    if cfg.floor_sf:
+        sf = np.maximum(sf, 0)
+    if not cfg.use_zero_one:
+        if cfg.max_hash_hops == 2:
+            sf[:, [4, 5]] = 0
+        elif cfg.max_hash_hops == 3:
+            sf[:, [4, 5, 11, 12]] = 0
+
+    return LinkDataset(links, labels, g.edge_index, g.weights, g.num_nodes,
+                       x, degrees, subgraph_features=sf, RA=RA,
+                       sketches=sketches)
+
+
+def build_all_splits(splits, cfg: Config):
+    """train/valid/test LinkDatasets (reference
+    get_hashed_train_val_test_datasets, src/datasets/elph.py:245-265)."""
+    return {name: build_link_dataset(sd, cfg, name)
+            for name, sd in splits.items()}

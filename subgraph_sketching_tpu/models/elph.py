@@ -43,12 +43,14 @@ class ELPH(nn.Module):
 
     @nn.compact
     def __call__(self, x, edge_index, num_nodes: int,
-                 init_minhash: jnp.ndarray, init_hll: jnp.ndarray,
+                 init_minhash: Optional[jnp.ndarray] = None,
+                 init_hll: Optional[jnp.ndarray] = None,
                  edge_weight: Optional[jnp.ndarray] = None,
                  mask: Optional[jnp.ndarray] = None,
                  *, training: bool = False
-                 ) -> Tuple[Optional[jnp.ndarray], Sketches]:
+                 ) -> Tuple[Optional[jnp.ndarray], Optional[Sketches]]:
         p = self.sketch_params
+        with_sketches = init_minhash is not None
         src, dst = edge_index[0], edge_index[1]
         # the hash graph is unnormalised; self-loops are folded into the
         # propagation ops (reference adds them explicitly, elph.py:186)
@@ -60,9 +62,12 @@ class ELPH(nn.Module):
 
         mhs, hlls, cards = [init_minhash], [init_hll], []
         for k in range(1, p.max_hops + 1):
-            mhs.append(propagate_minhash(mhs[-1], src, dst, num_nodes, mask))
-            hlls.append(propagate_hll(hlls[-1], src, dst, num_nodes, mask))
-            cards.append(hll_count(hlls[-1], p.hll_p))
+            if with_sketches:
+                # integer min/max message passing — inherently gradient-free
+                # (reference wraps in no_grad, hashing.py:32,42)
+                mhs.append(propagate_minhash(mhs[-1], src, dst, num_nodes, mask))
+                hlls.append(propagate_hll(hlls[-1], src, dst, num_nodes, mask))
+                cards.append(hll_count(hlls[-1], p.hll_p))
             if self.use_feature:
                 out = GCNConv(self.hidden_channels, name=f"conv_{k - 1}")(
                     x, edge_index, num_nodes, norm=norm)
@@ -70,8 +75,10 @@ class ELPH(nn.Module):
                                  deterministic=not training)(out)
                 x = x + out if self.feature_prop == "residual" else out
 
-        sketches = Sketches(minhash=jnp.stack(mhs), hll=jnp.stack(hlls),
-                            cards=jnp.stack(cards, axis=1))
+        sketches = None
+        if with_sketches:
+            sketches = Sketches(minhash=jnp.stack(mhs), hll=jnp.stack(hlls),
+                                cards=jnp.stack(cards, axis=1))
         return (x if self.use_feature else None), sketches
 
 

@@ -1,0 +1,142 @@
+"""Main experiment driver (reference src/runners/run.py).
+
+CLI flag names are kept compatible with the reference so its README
+reproduction commands work against this runner, e.g.:
+
+    python -m subgraph_sketching_tpu.runners.run --dataset_name Cora \
+        --model BUDDY --lr 0.01 ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import time
+from math import inf
+from typing import Optional
+
+import jax
+import numpy as np
+
+from subgraph_sketching_tpu.config import Config
+from subgraph_sketching_tpu.graph.datasets import get_data
+from subgraph_sketching_tpu.graph.preprocess import (
+    build_link_dataset, sketch_params_from_config,
+)
+from subgraph_sketching_tpu.train.inference import test
+from subgraph_sketching_tpu.train.loops import BuddyTrainer, ElphTrainer
+from subgraph_sketching_tpu.utils import str2bool
+
+
+def set_seed(seed: int) -> np.random.Generator:
+    """Reproducibility per OGB rules (reference run.py:37-48)."""
+    np.random.seed(seed)
+    return np.random.default_rng(seed)
+
+
+def build_trainer(cfg: Config, datasets, num_features: Optional[int]):
+    if cfg.model == "BUDDY":
+        trainer = BuddyTrainer(cfg, datasets["train"], num_features)
+    elif cfg.model == "ELPH":
+        trainer = ElphTrainer(cfg, datasets["train"],
+                              sketch_params_from_config(cfg), num_features)
+    else:
+        raise NotImplementedError(
+            f"model {cfg.model} is not wired into the runner yet")
+    for split in ("valid", "test"):
+        trainer.stage(split, datasets[split])
+    return trainer
+
+
+def run(cfg: Config):
+    """Rep loop with best-val model selection (reference run.py:50-110)."""
+    if cfg.model not in ("BUDDY", "ELPH"):
+        raise NotImplementedError(
+            f"model {cfg.model} is not wired into the runner yet "
+            f"(available: BUDDY, ELPH)")
+    print(f"executing on {jax.devices()[0].platform}")
+    results_list = []
+    for rep in range(cfg.reps):
+        host_rng = set_seed(rep)
+        splits, directed, eval_metric = get_data(cfg)
+        if cfg.eval_metric != "hits":
+            eval_metric = cfg.eval_metric
+        t0 = time.time()
+        datasets = {name: build_link_dataset(sd, cfg, name)
+                    for name, sd in splits.items()}
+        print(f"preprocessing ran in {time.time() - t0:.2f}s")
+        num_features = (None if datasets["train"].x is None
+                        else datasets["train"].x.shape[-1])
+        trainer = build_trainer(cfg, datasets, num_features)
+        state = trainer.init_state(jax.random.PRNGKey(rep))
+
+        val_res = test_res = train_res = 0.0
+        best_epoch = 0
+        print(f"running repetition {rep}")
+        for epoch in range(cfg.epochs):
+            t0 = time.time()
+            state, loss = trainer.train_epoch(state, host_rng,
+                                              jax.random.PRNGKey(epoch))
+            if (epoch + 1) % cfg.eval_steps == 0:
+                results = test(trainer, state, cfg, eval_metric)
+                for key, result in results.items():
+                    train_res, tmp_val, tmp_test = (list(result) + [0.0])[:3]
+                    if tmp_val > val_res:
+                        val_res, test_res, best_epoch = tmp_val, tmp_test, epoch
+                    print(key)
+                    print(f"Epoch: {epoch:02d}, Best epoch: {best_epoch}, "
+                          f"Loss: {loss:.4f}, Train: {100 * train_res:.2f}%, "
+                          f"Valid: {100 * val_res:.2f}%, "
+                          f"Test: {100 * test_res:.2f}%, "
+                          f"epoch time: {time.time() - t0:.1f}")
+        results_list.append([test_res, val_res, train_res])
+        if cfg.reps > 1:
+            for idx, res in enumerate(results_list):
+                print(f"repetition {idx}: test {res[0]:.2f}, val {res[1]:.2f}, "
+                      f"train {res[2]:.2f}")
+    if cfg.reps > 1:
+        arr = np.array(results_list) * 100
+        print({"test_mean": arr[:, 0].mean(), "val_mean": arr[:, 1].mean(),
+               "train_mean": arr[:, 2].mean(),
+               "test_acc_std": arr[:, 0].std(), "val_acc_std": arr[:, 1].std()})
+    if cfg.save_model and cfg.checkpoint_dir:
+        from subgraph_sketching_tpu.train.checkpoint import save_checkpoint
+        save_checkpoint(cfg.checkpoint_dir, state, step=cfg.epochs)
+    return results_list
+
+
+def make_parser() -> argparse.ArgumentParser:
+    """Flags mirror reference run.py:147-261 (same names/defaults)."""
+    parser = argparse.ArgumentParser(
+        description="Efficient Link Prediction with Hashes (ELPH) — TPU-native")
+    defaults = Config()
+    for f in dataclasses.fields(Config):
+        name = f"--{f.name}"
+        default = getattr(defaults, f.name)
+        if f.name in ("mesh_shape", "mesh_axes"):
+            continue
+        if isinstance(default, bool):
+            parser.add_argument(name, type=str2bool, default=default)
+        elif f.type in ("float", float) or isinstance(default, float):
+            parser.add_argument(name, type=float, default=default)
+        elif isinstance(default, int):
+            parser.add_argument(name, type=int, default=default)
+        else:
+            parser.add_argument(name, type=str, default=default)
+    return parser
+
+
+def main(argv=None):
+    args = make_parser().parse_args(argv)
+    d = vars(args)
+    for k in ("train_samples", "val_samples", "test_samples",
+              "train_cache_size"):
+        if d[k] is not None and d[k] < 0:
+            d[k] = inf
+    cfg = Config(**d)
+    print(cfg)
+    return run(cfg)
+
+
+if __name__ == "__main__":
+    main()

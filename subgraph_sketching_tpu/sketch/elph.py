@@ -112,15 +112,25 @@ def subgraph_features(links: jnp.ndarray, sk: Sketches,
                       params: SketchParams) -> jnp.ndarray:
     """Structure features for a batch of links: [B, k(k+2)] float32.
 
-    The inclusion-exclusion ladder converting hop-pair intersection estimates
-    and per-hop cardinalities into disjoint (d_u, d_v) region counts, in the
-    exact column order of LABEL_LOOKUP (reference src/hashing.py:258-323).
-    Zero-one knockout and flooring match src/hashing.py:310-320.
+    (Reference src/hashing.py:258-323.)
     """
-    K = params.max_hops
     inter = _pairwise_intersections(links, sk, params)      # [B, K, K]
     cu = sk.cards[links[:, 0]]                              # [B, K] |N_k(u)|
     cv = sk.cards[links[:, 1]]                              # [B, K] |N_k(v)|
+    return inclusion_exclusion_ladder(inter, cu, cv, params)
+
+
+def inclusion_exclusion_ladder(inter: jnp.ndarray, cu: jnp.ndarray,
+                               cv: jnp.ndarray,
+                               params: SketchParams) -> jnp.ndarray:
+    """Convert hop-pair intersection estimates + per-hop cardinalities into
+    disjoint (d_u, d_v) region counts, in the exact column order of
+    LABEL_LOOKUP (reference src/hashing.py:276-320, including its quirk of
+    double-subtracting f(1,1) in the (2,0) column).
+
+    inter: [B, K, K]; cu, cv: [B, K].
+    """
+    K = params.max_hops
 
     def I(k1, k2):  # noqa: E743 — intersection estimate, 1-indexed hops
         return inter[:, k1 - 1, k2 - 1]

@@ -1,0 +1,38 @@
+"""Checkpointing of params + optimizer state.
+
+The reference only saves final weights (run.py:108-110) with no resume path;
+here full train state (params, batch_stats, opt_state) round-trips through
+orbax, giving real mid-run resume.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+
+
+def _ckptr():
+    import orbax.checkpoint as ocp
+    return ocp.PyTreeCheckpointer()
+
+
+def save_checkpoint(directory: str, state, step: int = 0) -> str:
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.join(os.path.abspath(directory), f"step_{step}")
+    _ckptr().save(path, jax.tree.map(lambda x: x, state._asdict()),
+                  force=True)
+    return path
+
+
+def restore_checkpoint(directory: str, step: Optional[int] = None):
+    """Returns the raw state dict (caller rebuilds its TrainState)."""
+    base = os.path.abspath(directory)
+    if step is None:
+        steps = sorted(int(d.split("_")[1]) for d in os.listdir(base)
+                       if d.startswith("step_"))
+        if not steps:
+            raise FileNotFoundError(f"no checkpoints under {base}")
+        step = steps[-1]
+    return _ckptr().restore(os.path.join(base, f"step_{step}")), step

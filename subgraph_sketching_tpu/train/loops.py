@@ -1,0 +1,408 @@
+"""Jitted training and inference loops for BUDDY and ELPH.
+
+TPU-first redesign of the reference's per-batch python loops
+(src/runners/train.py, src/runners/inference.py):
+
+  * one jitted epoch: all link tensors live on device, the epoch is a
+    ``lax.scan`` over a host-generated permutation — no per-batch host sync
+  * the last batch is padded and masked rather than ragged (static shapes)
+  * ELPH improvement over the reference: the (deterministic,
+    parameter-independent) sketches and subgraph features are computed once
+    per split at preprocessing instead of once per batch
+    (reference recomputes the full-graph hash propagation every batch,
+    train.py:188-204); gradients are identical because the hash side is
+    gradient-free
+  * Adam with torch-style weight decay (decay added to the gradient before
+    the moment updates, matching torch.optim.Adam / reference run.py:138)
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from subgraph_sketching_tpu.config import Config
+from subgraph_sketching_tpu.graph.preprocess import LinkDataset
+from subgraph_sketching_tpu.models.buddy import BUDDY
+from subgraph_sketching_tpu.models.elph import ELPH
+from subgraph_sketching_tpu.models.predictor import LinkPredictor
+from subgraph_sketching_tpu.train.losses import get_loss
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    if cfg.weight_decay > 0:
+        return optax.chain(optax.add_decayed_weights(cfg.weight_decay),
+                           optax.adam(cfg.lr))
+    return optax.adam(cfg.lr)
+
+
+def _epoch_permutation(num_links: int, batch_size: int, rng: np.random.Generator,
+                       train_samples: float = math.inf) -> np.ndarray:
+    """[steps, batch_size] int32; -1 marks padding (masked out of the loss).
+
+    Subsampling semantics follow reference get_num_samples (utils.py:32-43):
+    a fraction if < 1, else a count.
+    """
+    n = num_links
+    if train_samples < 1:
+        n = int(train_samples * num_links)
+    elif train_samples != math.inf:
+        n = min(int(train_samples), num_links)
+    perm = rng.permutation(num_links)[:n].astype(np.int32)
+    steps = max(1, math.ceil(n / batch_size))
+    padded = np.full(steps * batch_size, -1, dtype=np.int32)
+    padded[:n] = perm
+    return padded.reshape(steps, batch_size)
+
+
+# ------------------------------------------------------------------ BUDDY --
+
+class BuddyTrainer:
+    """Owns the model, device-resident split data, and jitted step fns."""
+
+    def __init__(self, cfg: Config, dataset: LinkDataset,
+                 num_features: Optional[int]):
+        self.cfg = cfg
+        use_feature = cfg.use_feature and dataset.x is not None
+        self.model = BUDDY(
+            sf_dim=cfg.sf_dim,
+            hidden_channels=cfg.hidden_channels,
+            use_feature=use_feature,
+            sign_k=cfg.sign_k,
+            append_normalised=cfg.add_normed_features,
+            use_RA=cfg.use_RA,
+            label_dropout=cfg.label_dropout,
+            feature_dropout=cfg.feature_dropout,
+            sign_dropout=cfg.sign_dropout,
+        )
+        self.optimizer = make_optimizer(cfg)
+        self.loss_fn = get_loss(cfg.loss)
+        self.use_feature = use_feature
+        self._data: Dict[str, Dict[str, jnp.ndarray]] = {}
+        self.stage("train", dataset)
+
+    # -- data staging -------------------------------------------------------
+    def stage(self, split: str, ds: LinkDataset):
+        d = {
+            "links": jnp.asarray(ds.links),
+            "labels": jnp.asarray(ds.labels),
+            "sf": jnp.asarray(ds.subgraph_features),
+            "degrees": jnp.asarray(ds.degrees),
+        }
+        if self.use_feature:
+            d["x"] = jnp.asarray(ds.x)
+        if self.cfg.use_RA:
+            d["RA"] = jnp.asarray(ds.RA)
+        self._data[split] = d
+
+    def _batch(self, data, idx):
+        """Gather one batch by link indices (idx may contain -1 padding)."""
+        safe = jnp.maximum(idx, 0)
+        links = data["links"][safe]
+        batch = {
+            "sf": data["sf"][safe],
+            "labels": data["labels"][safe],
+            "mask": (idx >= 0),
+            "src_degree": data["degrees"][links[:, 0]],
+            "dst_degree": data["degrees"][links[:, 1]],
+        }
+        if self.cfg.use_struct_feature is False:
+            batch["sf"] = jnp.zeros_like(batch["sf"])
+        if self.use_feature:
+            batch["node_features"] = data["x"][links]
+        if self.cfg.use_RA:
+            batch["RA"] = data["RA"][safe]
+        return batch
+
+    def _apply(self, params, batch_stats, batch, training, dropout_rng=None):
+        variables = {"params": params, "batch_stats": batch_stats}
+        kwargs = dict(
+            sf=batch["sf"],
+            node_features=batch.get("node_features"),
+            src_degree=batch["src_degree"],
+            dst_degree=batch["dst_degree"],
+            RA=batch.get("RA"),
+            training=training,
+        )
+        if training:
+            out, updates = self.model.apply(
+                variables, **kwargs, mutable=["batch_stats"],
+                rngs={"dropout": dropout_rng})
+            return out, updates["batch_stats"]
+        return self.model.apply(variables, **kwargs), batch_stats
+
+    # -- state --------------------------------------------------------------
+    def init_state(self, rng: jax.Array) -> TrainState:
+        data = self._data["train"]
+        idx = jnp.zeros(min(2, data["links"].shape[0]), jnp.int32)
+        batch = self._batch(data, idx)
+        variables = self.model.init(
+            {"params": rng, "dropout": rng},
+            sf=batch["sf"], node_features=batch.get("node_features"),
+            src_degree=batch["src_degree"], dst_degree=batch["dst_degree"],
+            RA=batch.get("RA"), training=False)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        return TrainState(params, batch_stats, self.optimizer.init(params))
+
+    # -- jitted fns ---------------------------------------------------------
+    def _train_epoch_fn(self):
+        def epoch(state: TrainState, perm: jnp.ndarray, rng: jax.Array):
+            data = self._data["train"]
+
+            def step(carry, inp):
+                st, key = carry
+                idx = inp
+                key, dkey = jax.random.split(key)
+                batch = self._batch(data, idx)
+
+                def loss_fn(params):
+                    logits, new_bs = self._apply(params, st.batch_stats, batch,
+                                                 True, dkey)
+                    loss = self.loss_fn(logits, batch["labels"], batch["mask"])
+                    return loss, new_bs
+
+                (loss, new_bs), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(st.params)
+                updates, new_opt = self.optimizer.update(grads, st.opt_state,
+                                                         st.params)
+                new_params = optax.apply_updates(st.params, updates)
+                return (TrainState(new_params, new_bs, new_opt), key), loss
+
+            (state, _), losses = jax.lax.scan(step, (state, rng), perm)
+            return state, losses
+
+        return jax.jit(epoch)
+
+    def _predict_fn(self):
+        def predict(state: TrainState, data, idx):
+            batch = self._batch(data, idx)
+            logits, _ = self._apply(state.params, state.batch_stats, batch,
+                                    False)
+            return logits.ravel()
+
+        return jax.jit(predict)
+
+    # -- public API ---------------------------------------------------------
+    def num_links(self, split: str) -> int:
+        return int(self._data[split]["links"].shape[0])
+
+    def train_epoch(self, state: TrainState, rng: np.random.Generator,
+                    epoch_rng: jax.Array) -> Tuple[TrainState, float]:
+        if not hasattr(self, "_epoch_jit"):
+            self._epoch_jit = self._train_epoch_fn()
+        data = self._data["train"]
+        perm = _epoch_permutation(int(data["links"].shape[0]),
+                                  self.cfg.batch_size, rng,
+                                  self.cfg.train_samples)
+        state, losses = self._epoch_jit(state, jnp.asarray(perm), epoch_rng)
+        # reference reports sum(loss * batch_size) / num_links (train.py:77,89)
+        total = float(jnp.sum(losses) * self.cfg.batch_size)
+        return state, total / data["links"].shape[0]
+
+    def predict(self, state: TrainState, split: str,
+                n_samples: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
+        """(pred, labels) over the split's links in order, batched at
+        eval_batch_size (reference get_buddy_preds, inference.py:99-140)."""
+        if not hasattr(self, "_pred_jit"):
+            self._pred_jit = self._predict_fn()
+        data = self._data[split]
+        n = int(data["links"].shape[0])
+        if n_samples is not None:
+            n = min(n, n_samples)
+        bs = min(self.cfg.eval_batch_size, max(1, n))
+        preds = []
+        for s in range(0, n, bs):
+            idx = np.arange(s, min(s + bs, n), dtype=np.int32)
+            pad = bs - len(idx)
+            if pad:
+                idx = np.concatenate([idx, np.full(pad, -1, np.int32)])
+            out = np.asarray(self._pred_jit(state, data, jnp.asarray(idx)))
+            preds.append(out[:bs - pad] if pad else out)
+        pred = np.concatenate(preds)
+        labels = np.asarray(data["labels"])[:n]
+        return pred, labels
+
+
+# ------------------------------------------------------------------- ELPH --
+
+class ElphTrainer:
+    """ELPH: full-graph GCN encoder inside the loss + precomputed sketches.
+
+    The reference runs the full-graph forward (hashes + features) once per
+    batch (train.py:188-204).  Here the sketch side is hoisted to
+    preprocessing (identical values, gradient-free) and only the feature GCN
+    runs inside the jitted step.
+    """
+
+    def __init__(self, cfg: Config, dataset: LinkDataset,
+                 sketch_params, num_features: Optional[int]):
+        from subgraph_sketching_tpu.graph.container import Graph
+
+        self.cfg = cfg
+        self.sketch_params = sketch_params
+        use_feature = cfg.use_feature and dataset.x is not None
+        self.use_feature = use_feature
+        self.gnn = ELPH(sketch_params, cfg.hidden_channels, use_feature,
+                        cfg.feature_prop, cfg.feature_dropout)
+        self.predictor = LinkPredictor(
+            sketch_params.sf_dim, cfg.hidden_channels, use_feature,
+            False, cfg.label_dropout, cfg.feature_dropout)
+        self.optimizer = make_optimizer(cfg)
+        self.loss_fn = get_loss(cfg.loss)
+        self._data: Dict[str, Dict[str, jnp.ndarray]] = {}
+        self.stage("train", dataset)
+
+    def stage(self, split: str, ds: LinkDataset):
+        from subgraph_sketching_tpu.sketch.elph import (
+            build_hash_tables, subgraph_features_batched,
+        )
+        g_ei = jnp.asarray(ds.edge_index)
+        sketches = ds.sketches
+        if sketches is None:
+            sketches = build_hash_tables(g_ei, ds.num_nodes,
+                                         self.sketch_params)
+        sf = subgraph_features_batched(ds.links, sketches, self.sketch_params)
+        d = {
+            "links": jnp.asarray(ds.links),
+            "labels": jnp.asarray(ds.labels),
+            "sf": jnp.asarray(sf),
+            "edge_index": g_ei,
+            "edge_weight": jnp.asarray(ds.edge_weight),
+            "num_nodes": ds.num_nodes,
+        }
+        if self.use_feature:
+            d["x"] = jnp.asarray(ds.x)
+        self._data[split] = d
+
+    def _node_feats(self, params, batch_stats, data, training, dropout_rng=None):
+        variables = {"params": params, "batch_stats": batch_stats}
+        kwargs = dict(edge_weight=data["edge_weight"], training=training)
+        x = data["x"] if self.use_feature else None
+        if training:
+            (feats, _), updates = self.gnn.apply(
+                variables, x, data["edge_index"], data["num_nodes"],
+                mutable=["batch_stats"], rngs={"dropout": dropout_rng},
+                **kwargs)
+            return feats, updates["batch_stats"]
+        feats, _ = self.gnn.apply(variables, x, data["edge_index"],
+                                  data["num_nodes"], **kwargs)
+        return feats, batch_stats
+
+    def init_state(self, rng: jax.Array) -> TrainState:
+        data = self._data["train"]
+        x = data["x"] if self.use_feature else None
+        gnn_vars = self.gnn.init({"params": rng, "dropout": rng}, x,
+                                 data["edge_index"], data["num_nodes"],
+                                 edge_weight=data["edge_weight"],
+                                 training=False)
+        feats, _ = self.gnn.apply(gnn_vars, x, data["edge_index"],
+                                  data["num_nodes"],
+                                  edge_weight=data["edge_weight"],
+                                  training=False)
+        links0 = data["links"][:2]
+        sf0 = data["sf"][:2]
+        nf0 = feats[links0] if feats is not None else None
+        pred_vars = self.predictor.init({"params": rng, "dropout": rng}, sf0,
+                                        nf0, training=False)
+        params = {"gnn": gnn_vars["params"], "predictor": pred_vars["params"]}
+        batch_stats = {"gnn": gnn_vars.get("batch_stats", {}),
+                       "predictor": pred_vars.get("batch_stats", {})}
+        return TrainState(params, batch_stats, self.optimizer.init(params))
+
+    def _train_epoch_fn(self):
+        def epoch(state: TrainState, perm: jnp.ndarray, rng: jax.Array):
+            data = self._data["train"]
+
+            def step(carry, idx):
+                st, key = carry
+                key, k1, k2 = jax.random.split(key, 3)
+                safe = jnp.maximum(idx, 0)
+                links_b = data["links"][safe]
+                sf_b = data["sf"][safe]
+                labels_b = data["labels"][safe]
+                mask = idx >= 0
+
+                def loss_fn(params):
+                    feats, new_gnn_bs = self._node_feats(
+                        params["gnn"], st.batch_stats["gnn"], data, True, k1)
+                    nf = feats[links_b] if feats is not None else None
+                    pv = {"params": params["predictor"],
+                          "batch_stats": st.batch_stats["predictor"]}
+                    logits, updates = self.predictor.apply(
+                        pv, sf_b, nf, training=True,
+                        mutable=["batch_stats"], rngs={"dropout": k2})
+                    loss = self.loss_fn(logits, labels_b, mask)
+                    return loss, {"gnn": new_gnn_bs,
+                                  "predictor": updates["batch_stats"]}
+
+                (loss, new_bs), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(st.params)
+                updates, new_opt = self.optimizer.update(grads, st.opt_state,
+                                                         st.params)
+                new_params = optax.apply_updates(st.params, updates)
+                return (TrainState(new_params, new_bs, new_opt), key), loss
+
+            (state, _), losses = jax.lax.scan(step, (state, rng), perm)
+            return state, losses
+
+        return jax.jit(epoch)
+
+    def num_links(self, split: str) -> int:
+        return int(self._data[split]["links"].shape[0])
+
+    def train_epoch(self, state: TrainState, rng: np.random.Generator,
+                    epoch_rng: jax.Array) -> Tuple[TrainState, float]:
+        if not hasattr(self, "_epoch_jit"):
+            self._epoch_jit = self._train_epoch_fn()
+        data = self._data["train"]
+        perm = _epoch_permutation(int(data["links"].shape[0]),
+                                  self.cfg.batch_size, rng,
+                                  self.cfg.train_samples)
+        state, losses = self._epoch_jit(state, jnp.asarray(perm), epoch_rng)
+        total = float(jnp.sum(losses) * self.cfg.batch_size)
+        return state, total / data["links"].shape[0]
+
+    def predict(self, state: TrainState, split: str,
+                n_samples: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
+        """Full-graph forward once, then batched feature lookup + scoring
+        (reference get_elph_preds, inference.py:167-205)."""
+        data = self._data[split]
+        feats, _ = self._node_feats(state.params["gnn"],
+                                    state.batch_stats["gnn"], data, False)
+        n = int(data["links"].shape[0])
+        if n_samples is not None:
+            n = min(n, n_samples)
+        bs = min(self.cfg.eval_batch_size, max(1, n))
+
+        @jax.jit
+        def score(links_b, sf_b):
+            nf = feats[links_b] if feats is not None else None
+            pv = {"params": state.params["predictor"],
+                  "batch_stats": state.batch_stats["predictor"]}
+            return self.predictor.apply(pv, sf_b, nf, training=False).ravel()
+
+        preds = []
+        for s in range(0, n, bs):
+            e = min(s + bs, n)
+            idx = np.arange(s, e, dtype=np.int32)
+            pad = bs - len(idx)
+            if pad:
+                idx = np.concatenate([idx, np.zeros(pad, np.int32)])
+            out = np.asarray(score(data["links"][jnp.asarray(idx)],
+                                   data["sf"][jnp.asarray(idx)]))
+            preds.append(out[:bs - pad] if pad else out)
+        pred = np.concatenate(preds)
+        labels = np.asarray(data["labels"])[:n]
+        return pred, labels

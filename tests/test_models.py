@@ -1,0 +1,140 @@
+"""Model shape/smoke tests + end-to-end train/eval runs on synthetic data
+(reference test strategy patterns 5-6, SURVEY.md §4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from subgraph_sketching_tpu.config import Config
+from subgraph_sketching_tpu.graph.datasets import get_data
+from subgraph_sketching_tpu.graph.preprocess import (
+    build_link_dataset, sketch_params_from_config,
+)
+from subgraph_sketching_tpu.models import BUDDY, LinkPredictor, SIGN
+from subgraph_sketching_tpu.models.elph import ELPH
+
+
+def small_cfg(**kw):
+    base = dict(dataset_name="synth-ba", hidden_channels=32, batch_size=256,
+                eval_batch_size=512, epochs=1, model="BUDDY", K=20)
+    base.update(kw)
+    return Config(**base)
+
+
+def test_buddy_forward_shapes():
+    cfg = small_cfg()
+    model = BUDDY(sf_dim=8, hidden_channels=32)
+    rng = jax.random.PRNGKey(0)
+    B, d = 16, 64
+    sf = jnp.ones((B, 8))
+    nf = jnp.ones((B, 2, d))
+    var = model.init({"params": rng, "dropout": rng}, sf, nf,
+                     jnp.ones(B), jnp.ones(B), training=False)
+    out = model.apply(var, sf, nf, jnp.ones(B), jnp.ones(B), training=False)
+    assert out.shape == (B, 1)
+
+
+def test_buddy_normed_features_and_ra():
+    model = BUDDY(sf_dim=8, hidden_channels=16, append_normalised=True,
+                  use_RA=True)
+    rng = jax.random.PRNGKey(0)
+    B, d = 8, 32
+    sf, nf = jnp.ones((B, 8)), jnp.ones((B, 2, d))
+    deg = jnp.concatenate([jnp.zeros(4), jnp.ones(4) * 3])  # zero-degree guard
+    var = model.init({"params": rng, "dropout": rng}, sf, nf, deg, deg,
+                     RA=jnp.ones(B), training=False)
+    out = model.apply(var, sf, nf, deg, deg, RA=jnp.ones(B), training=False)
+    assert out.shape == (B, 1)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sign_shapes():
+    # (reference test_sign.py:31-69)
+    model = SIGN(hidden_channels=16, out_channels=16, K=2, dropout=0.0)
+    rng = jax.random.PRNGKey(0)
+    xs = jnp.ones((8, 2, 30))  # 3 blocks of 10
+    var = model.init({"params": rng, "dropout": rng}, xs, training=False)
+    out = model.apply(var, xs, training=False)
+    assert out.shape == (8, 2, 16)
+
+
+@pytest.mark.parametrize("feature_prop", ["gcn", "residual"])
+def test_elph_forward_shapes(ba_graph, feature_prop):
+    from subgraph_sketching_tpu.sketch import SketchParams
+    from subgraph_sketching_tpu.sketch.elph import initialise_sketches
+    params = SketchParams(max_hops=2)
+    n = 30
+    model = ELPH(params, hidden_channels=16, feature_prop=feature_prop)
+    rng = jax.random.PRNGKey(0)
+    x = jnp.ones((n, 12))
+    mh0, hll0 = initialise_sketches(n, params)
+    var = model.init({"params": rng, "dropout": rng}, x,
+                     jnp.asarray(ba_graph), n, jnp.asarray(mh0),
+                     jnp.asarray(hll0), training=False)
+    feats, sk = model.apply(var, x, jnp.asarray(ba_graph), n,
+                            jnp.asarray(mh0), jnp.asarray(hll0),
+                            training=False)
+    assert feats.shape == (n, 16)
+    assert sk.minhash.shape == (3, n, 128)
+    assert sk.cards.shape == (n, 2)
+    # without init sketches: features only
+    feats2, sk2 = model.apply(var, x, jnp.asarray(ba_graph), n,
+                              training=False)
+    assert sk2 is None
+    np.testing.assert_allclose(np.asarray(feats), np.asarray(feats2),
+                               rtol=1e-5)
+
+
+def test_link_predictor_shapes():
+    model = LinkPredictor(sf_dim=8, hidden_channels=16)
+    rng = jax.random.PRNGKey(0)
+    sf, nf = jnp.ones((8, 8)), jnp.ones((8, 2, 16))
+    var = model.init({"params": rng, "dropout": rng}, sf, nf, training=False)
+    out = model.apply(var, sf, nf, training=False)
+    assert out.shape == (8, 1)
+
+
+# ------------------------------------------------------- end-to-end smoke --
+
+def test_buddy_end_to_end_run():
+    """Real train/eval loop on a synthetic graph ('no exceptions is a pass'
+    plus sanity on the metric; reference test_buddy.py:123-128)."""
+    from subgraph_sketching_tpu.runners.run import run
+    cfg = small_cfg(epochs=2, train_samples=0.5)
+    results = run(cfg)
+    test_res, val_res, train_res = results[0]
+    assert 0.0 <= val_res <= 1.0
+
+
+def test_elph_end_to_end_run():
+    from subgraph_sketching_tpu.runners.run import run
+    cfg = small_cfg(model="ELPH", epochs=2, hidden_channels=16)
+    results = run(cfg)
+    assert 0.0 <= results[0][1] <= 1.0
+
+
+def test_buddy_learns_on_easy_graph():
+    """BUDDY should beat random AUC quickly on a BA graph where structure
+    features are highly informative."""
+    from subgraph_sketching_tpu.runners.run import run
+    cfg = small_cfg(epochs=5, eval_metric="auc", lr=0.01)
+    # auc path returns (val, test) tuples
+    from subgraph_sketching_tpu.graph.datasets import get_data
+    from subgraph_sketching_tpu.train.loops import BuddyTrainer
+    from subgraph_sketching_tpu.train.inference import test as run_test
+    splits, directed, _ = get_data(cfg)
+    datasets = {k: build_link_dataset(sd, cfg, k) for k, sd in splits.items()}
+    trainer = BuddyTrainer(cfg, datasets["train"], datasets["train"].x.shape[-1])
+    for s in ("valid", "test"):
+        trainer.stage(s, datasets[s])
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    best = 0.0
+    # BA graphs have weak CN signal once supervision edges are held out and
+    # the tiny model overfits fast, so track best-val like the runner does
+    for epoch in range(5):
+        state, loss = trainer.train_epoch(state, rng, jax.random.PRNGKey(epoch))
+        val_auc, _ = run_test(trainer, state, cfg, "auc")["AUC"]
+        best = max(best, val_auc)
+    assert best > 0.7, f"best val AUC {best} too low - model not learning"

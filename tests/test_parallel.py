@@ -1,0 +1,93 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from subgraph_sketching_tpu.graph import Graph
+from subgraph_sketching_tpu.parallel import (
+    edge_sharded_build_hash_tables, lane_sharded_subgraph_features, make_mesh,
+)
+from subgraph_sketching_tpu.sketch import (
+    SketchParams, build_hash_tables, subgraph_features,
+)
+from subgraph_sketching_tpu.sketch.elph import initialise_sketches
+
+
+@pytest.fixture(scope="module")
+def setup(request):
+    from subgraph_sketching_tpu.graph.synthetic import barabasi_albert_graph
+    g = Graph(barabasi_albert_graph(64, 4, seed=1), 64)
+    params = SketchParams(max_hops=2)
+    sk_ref = build_hash_tables(jnp.asarray(g.edge_index), 64, params)
+    links = np.stack([np.arange(32), (np.arange(32) * 7 + 3) % 64],
+                     axis=1).astype(np.int32)
+    return g, params, sk_ref, links
+
+
+def test_edge_sharded_matches_single_device(setup):
+    g, params, sk_ref, links = setup
+    assert len(jax.devices()) == 8
+    mesh = make_mesh([8], ("graph",))
+    ei, w, mask = g.padded_edges(multiple=8)
+    mh0, hll0 = initialise_sketches(64, params)
+    sk = edge_sharded_build_hash_tables(
+        jnp.asarray(ei), 64, params, mesh, jnp.asarray(mh0),
+        jnp.asarray(hll0), mask=jnp.asarray(mask))
+    np.testing.assert_array_equal(np.asarray(sk.minhash),
+                                  np.asarray(sk_ref.minhash))
+    np.testing.assert_array_equal(np.asarray(sk.hll), np.asarray(sk_ref.hll))
+    np.testing.assert_allclose(np.asarray(sk.cards), np.asarray(sk_ref.cards),
+                               rtol=1e-5)
+
+
+def test_lane_sharded_matches_single_device(setup):
+    g, params, sk_ref, links = setup
+    mesh = make_mesh([8], ("lane",))
+    sf_ref = np.asarray(subgraph_features(jnp.asarray(links), sk_ref, params))
+    sf = np.asarray(lane_sharded_subgraph_features(
+        jnp.asarray(links), sk_ref, params, mesh))
+    np.testing.assert_allclose(sf, sf_ref, rtol=1e-4, atol=1e-3)
+
+
+def test_distributed_train_step(setup):
+    from subgraph_sketching_tpu.parallel.train import make_distributed_train_step
+    g, params, sk_ref, links = setup
+    mesh = make_mesh([2, 2, 2], ("data", "graph", "lane"))
+    init_fn, step_fn, _ = make_distributed_train_step(
+        mesh, params, hidden_channels=16, num_nodes=64)
+    ei, w, mask = g.padded_edges(multiple=8)
+    mh0, hll0 = initialise_sketches(64, params)
+    x = jnp.asarray(np.random.default_rng(0).random((64, 16), dtype=np.float32))
+    labels = jnp.asarray((np.arange(32) % 2).astype(np.float32))
+    state = init_fn(jax.random.PRNGKey(0), x, jnp.asarray(links))
+    state, loss = step_fn(state, x, jnp.asarray(ei), jnp.asarray(mask),
+                          jnp.asarray(mh0), jnp.asarray(hll0),
+                          jnp.asarray(links), labels)
+    assert np.isfinite(float(loss))
+    state, loss2 = step_fn(state, x, jnp.asarray(ei), jnp.asarray(mask),
+                           jnp.asarray(mh0), jnp.asarray(hll0),
+                           jnp.asarray(links), labels)
+    assert np.isfinite(float(loss2))
+
+
+def test_dp_batch_sharded_buddy_epoch(setup):
+    """Data-parallel BUDDY: epoch scan with the permutation sharded on the
+    batch axis must match the metric envelope of single-device training."""
+    from subgraph_sketching_tpu.config import Config
+    from subgraph_sketching_tpu.graph.splits import random_link_split
+    from subgraph_sketching_tpu.graph.preprocess import build_link_dataset
+    from subgraph_sketching_tpu.train.loops import BuddyTrainer
+    g, params, sk_ref, links = setup
+    g2 = Graph(g.edge_index, g.num_nodes,
+               x=np.random.default_rng(1).random((64, 8), dtype=np.float32))
+    cfg = Config(dataset_name="synth-ba", model="BUDDY", hidden_channels=8,
+                 batch_size=64, eval_batch_size=64, K=10)
+    splits = random_link_split(g2, 0.1, 0.2, seed=0)
+    ds = build_link_dataset(splits["train"], cfg, "train")
+    trainer = BuddyTrainer(cfg, ds, 8)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    state, loss = trainer.train_epoch(state, np.random.default_rng(0),
+                                      jax.random.PRNGKey(0))
+    assert np.isfinite(loss)
