@@ -36,17 +36,14 @@ def bench_tpu(src, dst, mh, hll):
     import jax
     import jax.numpy as jnp
 
-    from subgraph_sketching_tpu.sketch.elph import (
-        propagate_hll, propagate_minhash,
-    )
+    from subgraph_sketching_tpu.ops.segment_scan import make_plan
 
-    srcj, dstj = jnp.asarray(src), jnp.asarray(dst)
+    plan = make_plan(np.stack([src, dst]), NUM_NODES)
     mhj, hllj = jnp.asarray(mh), jnp.asarray(hll)
 
     @jax.jit
     def one_hop(mh, hll):
-        return (propagate_minhash(mh, srcj, dstj, NUM_NODES),
-                propagate_hll(hll, srcj, dstj, NUM_NODES))
+        return plan.reduce(mh, "min"), plan.reduce(hll, "max")
 
     for _ in range(WARMUP):
         out = one_hop(mhj, hllj)

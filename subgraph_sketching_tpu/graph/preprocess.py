@@ -16,6 +16,7 @@ from dataclasses import dataclass
 from time import time
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -60,21 +61,34 @@ class LinkDataset:
 
 def sign_features(x: np.ndarray, edge_index: np.ndarray,
                   edge_weight: Optional[np.ndarray], num_nodes: int,
-                  sign_k: int) -> np.ndarray:
+                  sign_k: int, use_plan: bool = True) -> np.ndarray:
     """SIGN precompute (reference _generate_sign_features,
     src/datasets/elph.py:87-110): gcn_norm then sign_k=0 -> one propagation
-    replacing x; sign_k>0 -> concat [x, Ax, ..., A^k x]."""
+    replacing x; sign_k>0 -> concat [x, Ax, ..., A^k x].
+
+    The SpMM runs through the static padded-tree plan (fast path) when
+    ``use_plan``; the scatter path otherwise.
+    """
     ei = jnp.asarray(edge_index)
     ew = None if edge_weight is None else jnp.asarray(edge_weight)
     nei, nw, _ = gcn_norm(ei, ew, num_nodes)
     xj = jnp.asarray(x)
+
+    if use_plan:
+        from subgraph_sketching_tpu.ops.segment_scan import make_plan
+        plan = make_plan(np.asarray(nei), num_nodes)
+        wslots = plan.stage_edge_data(np.asarray(nw))
+        prop = jax.jit(lambda v: plan.reduce(v, "add",
+                                             edge_data_slots=wslots))
+    else:
+        prop = jax.jit(lambda v: spmm(nei, nw, v, num_nodes))
+
     if sign_k == 0:
-        out = spmm(nei, nw, xj, num_nodes)
-        return np.asarray(out)
+        return np.asarray(prop(xj))
     xs = [xj]
     cur = xj
     for _ in range(sign_k):
-        cur = spmm(nei, nw, cur, num_nodes)
+        cur = prop(cur)
         xs.append(cur)
     return np.asarray(jnp.concatenate(xs, axis=-1))
 
@@ -126,7 +140,7 @@ def build_link_dataset(split_data: SplitData, cfg: Config, split: str,
         if g.x is not None:
             t0 = time()
             x = sign_features(g.x, g.edge_index, g.edge_weight, g.num_nodes,
-                              cfg.sign_k)
+                              cfg.sign_k, use_plan=cfg.use_pallas)
             if cfg.load_features and feat_cache:
                 np.savez(feat_cache, x=x)
 
@@ -146,8 +160,11 @@ def build_link_dataset(split_data: SplitData, cfg: Config, split: str,
                                 hll=jnp.asarray(z["hll"]),
                                 cards=jnp.asarray(z["cards"]))
         else:
+            from subgraph_sketching_tpu.ops.segment_scan import make_plan
+            plan = (make_plan(g.edge_index, g.num_nodes)
+                    if cfg.use_pallas else None)
             sketches = build_hash_tables(jnp.asarray(g.edge_index),
-                                         g.num_nodes, params)
+                                         g.num_nodes, params, plan=plan)
             if hash_cache and cfg.load_hashes:
                 np.savez(hash_cache, minhash=np.asarray(sketches.minhash),
                          hll=np.asarray(sketches.hll),

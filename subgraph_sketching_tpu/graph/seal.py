@@ -1,0 +1,194 @@
+"""SEAL subgraph extraction: per-link k-hop enclosing subgraphs.
+
+Reference: src/datasets/seal.py.  The extraction itself (BFS over CSR,
+target-edge removal, node labelling) is host work; the TPU-first difference
+is the *batch layout*: instead of PyG's ragged disjoint-union batches, every
+subgraph is padded to a fixed (max_nodes, max_edges) so a batch is a dense
+[B, N, ...] tensor stack — static shapes for XLA, and DGCNN's sort-pooling
+becomes a vectorised per-graph top-k.
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+import scipy.sparse as ssp
+
+from subgraph_sketching_tpu.labelling import (
+    de_node_labeling, de_plus_node_labeling, drnl_node_labeling,
+)
+from subgraph_sketching_tpu.utils import neighbors
+
+
+def k_hop_subgraph(src: int, dst: int, num_hops: int, A: ssp.csr_matrix,
+                   sample_ratio: float = 1.0,
+                   max_nodes_per_hop: Optional[int] = None,
+                   node_features: Optional[np.ndarray] = None,
+                   y: int = 1, directed: bool = False,
+                   A_csc: Optional[ssp.csc_matrix] = None):
+    """Enclosing subgraph around link (src, dst); nodes[0:2] = (src, dst)
+    and the target edge is removed (reference src/datasets/seal.py:291-348).
+    """
+    nodes = [src, dst]
+    dists = [0, 0]
+    visited = {src, dst}
+    fringe = {src, dst}
+    for hop in range(1, num_hops + 1):
+        if not directed:
+            fringe = neighbors(fringe, A)
+        else:
+            fringe = neighbors(fringe, A) | neighbors(fringe, A_csc, False)
+        fringe = fringe - visited
+        visited = visited | fringe
+        if sample_ratio < 1.0:
+            fringe = set(random.sample(sorted(fringe),
+                                       int(sample_ratio * len(fringe))))
+        if max_nodes_per_hop is not None and max_nodes_per_hop < len(fringe):
+            fringe = set(random.sample(sorted(fringe), max_nodes_per_hop))
+        if not fringe:
+            break
+        nodes = nodes + sorted(fringe)
+        dists = dists + [hop] * len(fringe)
+    subgraph = A[nodes, :][:, nodes].tolil()
+    subgraph[0, 1] = 0  # remove the target link
+    subgraph[1, 0] = 0
+    subgraph = subgraph.tocsr()
+    x = node_features[nodes] if node_features is not None else None
+    return nodes, subgraph, dists, x, y
+
+
+def label_nodes(adj: ssp.csr_matrix, dists: List[int], node_label: str,
+                max_dist: int) -> np.ndarray:
+    """z labels for one subgraph (reference construct_pyg_graph,
+    src/datasets/seal.py:372-386)."""
+    if node_label == "drnl":
+        return drnl_node_labeling(adj, 0, 1, max_dist)
+    if node_label == "hop":
+        return np.asarray(dists, dtype=np.int64)
+    if node_label == "zo":
+        return (np.asarray(dists) == 0).astype(np.int64)
+    if node_label == "de":
+        return de_node_labeling(adj, 0, 1, max_dist)
+    if node_label == "de+":
+        return de_plus_node_labeling(adj, 0, 1, max_dist)
+    if node_label == "degree":
+        z = np.asarray(adj.sum(axis=0)).ravel().astype(np.int64)
+        return np.minimum(z, 100)
+    return np.zeros(len(dists), dtype=np.int64)
+
+
+@dataclass
+class SealBatchArrays:
+    """Dense padded batch of enclosing subgraphs (static shapes for XLA)."""
+
+    z: np.ndarray            # [B, N] int32 node labels (0 where padded)
+    node_mask: np.ndarray    # [B, N] bool
+    edge_index: np.ndarray   # [B, E, 2] int32 local node ids
+    edge_weight: np.ndarray  # [B, E] float32 (0 where padded)
+    edge_mask: np.ndarray    # [B, E] bool
+    x: Optional[np.ndarray]  # [B, N, d] float32
+    node_ids: np.ndarray     # [B, N] int32 global ids (-1 where padded)
+    y: np.ndarray            # [B] float32
+    src_degree: np.ndarray   # [B] float32
+    dst_degree: np.ndarray   # [B] float32
+
+
+class SEALDataset:
+    """Per-link enclosing subgraphs with fixed padding.
+
+    ``dynamic=False`` extracts everything up front (reference SEALDataset,
+    seal.py:26-86); ``dynamic=True`` extracts per batch on the fly
+    (reference SEALDynamicDataset, seal.py:89-146).
+    """
+
+    def __init__(self, graph, pos_edges: np.ndarray, neg_edges: np.ndarray,
+                 num_hops: int = 1, node_label: str = "drnl",
+                 ratio_per_hop: float = 1.0,
+                 max_nodes_per_hop: Optional[int] = None,
+                 max_dist: int = 1000, max_nodes: int = 64,
+                 max_edges: int = 256, use_feature: bool = True,
+                 directed: bool = False, dynamic: bool = True):
+        self.A = graph.csr()
+        self.A_csc = self.A.tocsc() if directed else None
+        self.x = graph.x if use_feature else None
+        self.links = np.concatenate([pos_edges, neg_edges], axis=0)
+        self.labels = np.concatenate([
+            np.ones(len(pos_edges)), np.zeros(len(neg_edges))]).astype(np.float32)
+        self.num_hops = num_hops
+        self.node_label = node_label
+        self.ratio_per_hop = ratio_per_hop
+        self.max_nodes_per_hop = max_nodes_per_hop
+        self.max_dist = max_dist
+        self.max_nodes = max_nodes
+        self.max_edges = max_edges
+        self.directed = directed
+        self._cache = None
+        if not dynamic:
+            self._cache = self.extract_batch(np.arange(len(self.links)))
+
+    def __len__(self) -> int:
+        return len(self.links)
+
+    def extract_one(self, idx: int):
+        src, dst = int(self.links[idx, 0]), int(self.links[idx, 1])
+        nodes, adj, dists, x, y = k_hop_subgraph(
+            src, dst, self.num_hops, self.A, self.ratio_per_hop,
+            self.max_nodes_per_hop, self.x, self.labels[idx],
+            self.directed, self.A_csc)
+        z = label_nodes(adj, dists, self.node_label, self.max_dist)
+        u, v = adj.nonzero()
+        w = np.asarray(adj[u, v]).ravel()
+        sd = min(self.A[src].sum(), self.max_nodes_per_hop or np.inf)
+        dd = min(self.A[dst].sum(), self.max_nodes_per_hop or np.inf)
+        return nodes, z, (u, v, w), x, y, float(sd), float(dd)
+
+    def extract_batch(self, indices: np.ndarray) -> SealBatchArrays:
+        B, N, E = len(indices), self.max_nodes, self.max_edges
+        d = self.x.shape[1] if self.x is not None else 0
+        out = SealBatchArrays(
+            z=np.zeros((B, N), np.int32),
+            node_mask=np.zeros((B, N), bool),
+            edge_index=np.zeros((B, E, 2), np.int32),
+            edge_weight=np.zeros((B, E), np.float32),
+            edge_mask=np.zeros((B, E), bool),
+            x=np.zeros((B, N, d), np.float32) if d else None,
+            node_ids=np.full((B, N), -1, np.int32),
+            y=np.zeros(B, np.float32),
+            src_degree=np.zeros(B, np.float32),
+            dst_degree=np.zeros(B, np.float32),
+        )
+        for bi, idx in enumerate(indices):
+            nodes, z, (u, v, w), x, y, sd, dd = self.extract_one(int(idx))
+            n = min(len(nodes), N)
+            keep = (u < n) & (v < n)
+            u, v, w = u[keep][:E], v[keep][:E], w[keep][:E]
+            e = len(u)
+            out.z[bi, :n] = z[:n]
+            out.node_mask[bi, :n] = True
+            out.edge_index[bi, :e, 0] = u
+            out.edge_index[bi, :e, 1] = v
+            out.edge_weight[bi, :e] = w
+            out.edge_mask[bi, :e] = True
+            if out.x is not None and x is not None:
+                out.x[bi, :n] = x[:n]
+            out.node_ids[bi, :n] = np.asarray(nodes[:n])
+            out.y[bi] = y
+            out.src_degree[bi] = sd
+            out.dst_degree[bi] = dd
+        return out
+
+    def batch(self, indices: np.ndarray) -> SealBatchArrays:
+        if self._cache is not None:
+            sl = indices
+            c = self._cache
+            return SealBatchArrays(
+                z=c.z[sl], node_mask=c.node_mask[sl],
+                edge_index=c.edge_index[sl], edge_weight=c.edge_weight[sl],
+                edge_mask=c.edge_mask[sl],
+                x=None if c.x is None else c.x[sl],
+                node_ids=c.node_ids[sl], y=c.y[sl],
+                src_degree=c.src_degree[sl], dst_degree=c.dst_degree[sl])
+        return self.extract_batch(indices)

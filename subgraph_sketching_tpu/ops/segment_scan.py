@@ -1,0 +1,128 @@
+"""Padded-tree segmented min/max/sum for static graphs (pure XLA).
+
+XLA's scatter-min/max on TPU serialises updates, making the naive
+``segment_min(x[src], dst)`` path scatter-bound (~15M rows/s measured; the
+reference's equivalent hot loop is PyG scatter-max, src/hashing.py:160-162).
+The graph is static, so the whole reduction schedule is known at trace time:
+
+  1. host: split each destination's in-edge list into sub-runs of SUB_LEN
+     slots, padding the tail of each sub-run with a sentinel that points at
+     an identity row appended to the node table
+  2. device: one big static gather rows[slot_idx] -> [S, SUB_LEN, W], then a
+     dense log2(SUB_LEN)-step tree reduction along the slot axis — pure
+     elementwise ops XLA fuses, no masks, no data-dependent control flow
+  3. a scatter over only S ≈ E/SUB_LEN sub-run results merges duplicates
+
+Used for minhash (min, uint32), HLL (max, int8) and weighted SpMM
+(add, float32).  ~6x faster than the scatter path at ogbl scale.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SUB_LEN = 8  # slots per sub-run (power of two; 8 won the v5e sweep —
+             # bigger values raise padding blowup faster than they cut the
+             # final scatter)
+
+
+def _identity_for(op: str, dtype) -> np.generic:
+    if op == "min":
+        return np.iinfo(dtype).max if np.issubdtype(dtype, np.integer) \
+            else np.array(np.inf, dtype)
+    if op == "max":
+        return np.iinfo(dtype).min if np.issubdtype(dtype, np.integer) \
+            else np.array(-np.inf, dtype)
+    return np.zeros((), dtype)
+
+
+class SortedSegmentPlan:
+    """Host-precomputed static reduction schedule for one edge list."""
+
+    def __init__(self, edge_index: np.ndarray, num_nodes: int,
+                 sub_len: int = SUB_LEN):
+        self.num_segments = num_nodes
+        self.sub_len = sub_len
+        src = edge_index[0].astype(np.int64)
+        dst = edge_index[1].astype(np.int64)
+        order = np.argsort(dst, kind="stable")
+        self.order = order
+        src, dst = src[order], dst[order]
+        e = len(src)
+        if e == 0:
+            self.num_subruns = 0
+            return
+        # position of each edge within its destination's run
+        counts = np.bincount(dst, minlength=num_nodes)
+        run_starts = np.zeros(num_nodes + 1, dtype=np.int64)
+        np.cumsum(counts, out=run_starts[1:])
+        pos = np.arange(e) - run_starts[dst]
+        # sub-run id and slot within it
+        subruns_per_node = np.maximum((counts + sub_len - 1) // sub_len, 0)
+        sub_starts = np.zeros(num_nodes + 1, dtype=np.int64)
+        np.cumsum(subruns_per_node, out=sub_starts[1:])
+        sub_id = sub_starts[dst] + pos // sub_len
+        slot = pos % sub_len
+        S = int(sub_starts[-1])
+        self.num_subruns = S
+        # slot table: sentinel = row num_nodes (identity row)
+        gather_idx = np.full(S * sub_len, num_nodes, dtype=np.int32)
+        gather_idx[sub_id * sub_len + slot] = src
+        self.gather_idx = jnp.asarray(gather_idx)
+        # slot -> original edge index (sentinel e -> zero weight), so edge
+        # data reaches its slot host-side (stage_edge_data), never via a
+        # device-side 1D gather (pathologically scalar on TPU)
+        self._slot_edge = np.full(S * sub_len, e, dtype=np.int64)
+        self._slot_edge[sub_id * sub_len + slot] = order
+        sub_dst = np.zeros(S, dtype=np.int32)
+        sub_dst[sub_id] = dst
+        self.sub_dst = jnp.asarray(sub_dst)
+
+    def stage_edge_data(self, edge_data: np.ndarray) -> jnp.ndarray:
+        """Permute per-edge data (original edge order) into slot order on
+        host.  Do this ONCE per weight set and pass the result to reduce."""
+        wz = np.concatenate([np.asarray(edge_data),
+                             np.zeros(1, dtype=np.asarray(edge_data).dtype)])
+        return jnp.asarray(wz[self._slot_edge])
+
+    def reduce(self, x: jnp.ndarray, op: str,
+               edge_data_slots: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """min/max: out[v] = op(x[v], in-neighbour rows) — closed
+        neighbourhood, matching sketch propagation (self always included).
+        add: out[v] = sum over in-edges of w_e * x[src_e] (SpMM; self NOT
+        included — put self-loops in the edge list).
+        ``edge_data_slots`` comes from ``stage_edge_data``.
+        """
+        if self.num_subruns == 0:
+            return x if op != "add" else jnp.zeros_like(x)
+        combine = {"min": jnp.minimum, "max": jnp.maximum, "add": jnp.add}[op]
+        ident = _identity_for(op, np.dtype(x.dtype))
+        rows = jnp.concatenate(
+            [x, jnp.full((1,) + x.shape[1:], ident, dtype=x.dtype)], axis=0)
+        v = rows[self.gather_idx]                       # [S * L, W]
+        if edge_data_slots is not None:
+            w = edge_data_slots
+            v = v * w.reshape((-1,) + (1,) * (v.ndim - 1)).astype(v.dtype)
+        v = v.reshape((self.num_subruns, self.sub_len) + x.shape[1:])
+        half = self.sub_len
+        while half > 1:
+            half //= 2
+            v = combine(v[:, :half], v[:, half:2 * half])
+        v = v[:, 0]                                     # [S, W]
+        seg = {"min": jax.ops.segment_min, "max": jax.ops.segment_max,
+               "add": jax.ops.segment_sum}[op]
+        agg = seg(v, self.sub_dst, num_segments=self.num_segments)
+        if op == "add":
+            return agg
+        # empty segments hold the dtype identity extremum; combining with the
+        # node's own row (closed neighbourhood) absorbs them
+        return combine(x, agg)
+
+
+def make_plan(edge_index: np.ndarray, num_nodes: int,
+              sub_len: int = SUB_LEN) -> SortedSegmentPlan:
+    return SortedSegmentPlan(np.asarray(edge_index), num_nodes, sub_len)

@@ -60,12 +60,14 @@ def build_hash_tables(edge_index: jnp.ndarray, num_nodes: int,
                       params: SketchParams,
                       mask: Optional[jnp.ndarray] = None,
                       init: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
-                      ) -> Sketches:
+                      plan=None) -> Sketches:
     """All per-hop sketches + cardinalities (reference src/hashing.py:139-165).
 
     edge_index: [2, E] int32 (may be padded; pass ``mask``).
     init: optional precomputed hop-0 (minhash, hll) device arrays — pass these
     when calling inside jit (host init is not traceable).
+    plan: optional ops.segment_scan.SortedSegmentPlan for the same edges —
+    the fast path (static padded-tree reduction, ~2.5x the scatter path).
     """
     assert params.max_hops in (1, 2, 3), \
         f"hashing is not implemented for {params.max_hops} hops"
@@ -78,8 +80,12 @@ def build_hash_tables(edge_index: jnp.ndarray, num_nodes: int,
 
     mhs, hlls, cards = [mh0], [hll0], []
     for _ in range(params.max_hops):
-        mhs.append(propagate_minhash(mhs[-1], src, dst, num_nodes, mask))
-        hlls.append(propagate_hll(hlls[-1], src, dst, num_nodes, mask))
+        if plan is not None:
+            mhs.append(plan.reduce(mhs[-1], "min"))
+            hlls.append(plan.reduce(hlls[-1], "max"))
+        else:
+            mhs.append(propagate_minhash(mhs[-1], src, dst, num_nodes, mask))
+            hlls.append(propagate_hll(hlls[-1], src, dst, num_nodes, mask))
         cards.append(hll_count(hlls[-1], params.hll_p))
     return Sketches(minhash=jnp.stack(mhs), hll=jnp.stack(hlls),
                     cards=jnp.stack(cards, axis=1))

@@ -271,8 +271,11 @@ class ElphTrainer:
         g_ei = jnp.asarray(ds.edge_index)
         sketches = ds.sketches
         if sketches is None:
+            from subgraph_sketching_tpu.ops.segment_scan import make_plan
+            plan = (make_plan(ds.edge_index, ds.num_nodes)
+                    if self.cfg.use_pallas else None)
             sketches = build_hash_tables(g_ei, ds.num_nodes,
-                                         self.sketch_params)
+                                         self.sketch_params, plan=plan)
         sf = subgraph_features_batched(ds.links, sketches, self.sketch_params)
         d = {
             "links": jnp.asarray(ds.links),

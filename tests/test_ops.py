@@ -1,0 +1,97 @@
+"""Ops-layer tests: segment reductions, scan-tree plans, gcn_norm, SpMM,
+heuristics."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from subgraph_sketching_tpu.graph.synthetic import barabasi_albert_graph
+from subgraph_sketching_tpu.ops.graph_ops import gcn_norm, spmm, degrees_from_edges
+from subgraph_sketching_tpu.ops.segment import segment_max, segment_min, segment_sum
+from subgraph_sketching_tpu.ops.segment_scan import make_plan
+
+
+def test_scan_plan_matches_scatter_min_max():
+    rng = np.random.default_rng(0)
+    for n, deg, sub_len in [(100, 5, 8), (500, 3, 32), (64, 40, 16)]:
+        e = n * deg
+        ei = np.stack([rng.integers(0, n, e), rng.integers(0, n, e)]).astype(np.int32)
+        x = rng.integers(0, 2 ** 32 - 1, (n, 64), dtype=np.uint32)
+        h = rng.integers(0, 50, (n, 32)).astype(np.int8)
+        plan = make_plan(ei, n, sub_len=sub_len)
+        got = np.asarray(plan.reduce(jnp.asarray(x), "min"))
+        ref = np.asarray(jnp.minimum(
+            jnp.asarray(x),
+            segment_min(jnp.asarray(x)[ei[0]], jnp.asarray(ei[1]), n)))
+        np.testing.assert_array_equal(got, ref)
+        got = np.asarray(plan.reduce(jnp.asarray(h), "max"))
+        ref = np.asarray(jnp.maximum(
+            jnp.asarray(h),
+            segment_max(jnp.asarray(h)[ei[0]], jnp.asarray(ei[1]), n)))
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_scan_plan_spmm_matches_dense():
+    rng = np.random.default_rng(1)
+    n, e = 80, 400
+    ei = np.stack([rng.integers(0, n, e), rng.integers(0, n, e)]).astype(np.int32)
+    w = rng.random(e).astype(np.float32)
+    x = rng.random((n, 16)).astype(np.float32)
+    plan = make_plan(ei, n, sub_len=8)
+    wslots = plan.stage_edge_data(w)
+    got = np.asarray(plan.reduce(jnp.asarray(x), "add",
+                                 edge_data_slots=wslots))
+    dense = np.zeros((n, n), np.float32)
+    for (s, d), wt in zip(ei.T, w):
+        dense[d, s] += wt
+    np.testing.assert_allclose(got, dense @ x, rtol=1e-4, atol=1e-5)
+
+
+def test_gcn_norm_matches_manual():
+    ei = jnp.asarray(np.array([[0, 1, 2], [1, 2, 0]], dtype=np.int32))
+    nei, w, _ = gcn_norm(ei, None, 3)
+    # with self loops: deg of every node = 2 -> every weight = 1/2
+    np.testing.assert_allclose(np.asarray(w), 0.5 * np.ones(6), rtol=1e-6)
+
+
+def test_spmm_matches_dense():
+    rng = np.random.default_rng(0)
+    n, e = 50, 300
+    ei = np.stack([rng.integers(0, n, e), rng.integers(0, n, e)]).astype(np.int32)
+    w = rng.random(e).astype(np.float32)
+    x = rng.random((n, 8)).astype(np.float32)
+    out = np.asarray(spmm(jnp.asarray(ei), jnp.asarray(w), jnp.asarray(x), n))
+    dense = np.zeros((n, n), np.float32)
+    for (s, d), wt in zip(ei.T, w):
+        dense[d, s] += wt
+    np.testing.assert_allclose(out, dense @ x, rtol=1e-4, atol=1e-5)
+
+
+def test_heuristics_hand_computed():
+    # 4-node path graph 0-1-2-3 plus edge 0-2 (undirected)
+    import scipy.sparse as ssp
+    from subgraph_sketching_tpu.heuristics import (
+        adamic_adar, common_neighbours, resource_allocation,
+    )
+    edges = [(0, 1), (1, 2), (2, 3), (0, 2)]
+    ei = np.array(edges + [(b, a) for a, b in edges]).T
+    A = ssp.csr_matrix((np.ones(ei.shape[1]), (ei[0], ei[1])), shape=(4, 4))
+    links = np.array([[0, 3], [1, 3], [0, 1]])
+    cn = common_neighbours(A, links)
+    # 0-3: common neighbour 2; 1-3: common 2; 0-1: common 2
+    np.testing.assert_allclose(cn, [1, 1, 1])
+    ra = resource_allocation(A, links)
+    # deg(2) = 3 -> every RA score = 1/3
+    np.testing.assert_allclose(ra, [1 / 3, 1 / 3, 1 / 3], rtol=1e-6)
+    aa = adamic_adar(A, links)
+    np.testing.assert_allclose(aa, [1 / np.log(3)] * 3, rtol=1e-6)
+
+
+def test_ppr_sums_to_one():
+    import scipy.sparse as ssp
+    from subgraph_sketching_tpu.heuristics import personalized_pagerank
+    ei = barabasi_albert_graph(30, 3, seed=0)
+    A = ssp.csr_matrix((np.ones(ei.shape[1]), (ei[0], ei[1])), shape=(30, 30))
+    links = np.array([[0, 1], [0, 5], [3, 7]])
+    scores, links_sorted = personalized_pagerank(A, links)
+    assert (scores >= 0).all() and (scores <= 1).all()
+    assert links_sorted.shape == links.shape

@@ -1,0 +1,144 @@
+"""SEAL tier tests: labelling tricks, subgraph extraction, models.
+
+Follows the reference test patterns (test_labelling_tricks.py,
+test_seal_datasets.py): tiny hand-built graphs with known answers + shape
+smoke tests.
+"""
+
+import numpy as np
+import scipy.sparse as ssp
+import jax
+import jax.numpy as jnp
+import pytest
+
+from subgraph_sketching_tpu.graph import Graph
+from subgraph_sketching_tpu.graph.seal import SEALDataset, k_hop_subgraph
+from subgraph_sketching_tpu.labelling import (
+    drnl_hash_function, drnl_node_labeling, de_node_labeling, get_drnl_lookup,
+)
+
+
+def two_squares_bridge():
+    """Two squares joined by a bridge (reference
+    test_labelling_tricks.py:14-40): 0-1-2-3-0 square, 4-5-6-7-4 square,
+    bridge 0-4."""
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (4, 5), (5, 6), (6, 7), (7, 4),
+             (0, 4)]
+    ei = np.array(edges + [(b, a) for a, b in edges]).T.astype(np.int32)
+    A = ssp.csr_matrix((np.ones(ei.shape[1]), (ei[0], ei[1])), shape=(8, 8))
+    return ei, A
+
+
+def test_drnl_hash_exact_values():
+    # (reference test_labelling_tricks.py:75-90 pattern: known label values)
+    d2src = np.array([0, 1, 1, 2])
+    d2dst = np.array([1, 0, 1, 1])
+    z = drnl_hash_function(d2src, d2dst)
+    # src/dst themselves -> 1; (1,1) -> 2; (2,1) -> 1+1+(1)(1+1-1)=3
+    np.testing.assert_array_equal(z, [1, 1, 2, 3])
+
+
+def test_drnl_node_labeling_on_squares():
+    ei, A = two_squares_bridge()
+    z = drnl_node_labeling(A, 0, 1)
+    assert z[0] == 1 and z[1] == 1
+    assert z.shape == (8,)
+    assert (np.asarray(z) >= 1).all()
+
+
+def test_de_labeling_shape():
+    ei, A = two_squares_bridge()
+    z = de_node_labeling(A, 0, 1, max_dist=3)
+    assert z.shape == (8, 2)
+    assert z[0, 0] == 0 and z[1, 1] == 0
+
+
+def test_drnl_lookup_dense():
+    z_to_idx, idx_to_dst = get_drnl_lookup(max_dist=4, num_hops=2)
+    assert idx_to_dst[0] == (1, 0)
+    assert len(z_to_idx) == len(idx_to_dst)
+
+
+def test_k_hop_subgraph_removes_target_edge():
+    ei, A = two_squares_bridge()
+    nodes, sub, dists, x, y = k_hop_subgraph(0, 1, 1, A)
+    assert nodes[0] == 0 and nodes[1] == 1
+    assert sub[0, 1] == 0 and sub[1, 0] == 0  # target edge removed
+    # 1-hop around (0,1): 0,1 + neighbours {1,3,4,2}
+    assert set(nodes) == {0, 1, 2, 3, 4}
+    assert dists[:2] == [0, 0]
+
+
+def test_seal_dataset_batches():
+    ei, A = two_squares_bridge()
+    g = Graph(ei, 8, x=np.eye(8, dtype=np.float32))
+    pos = np.array([[0, 1], [4, 5]])
+    neg = np.array([[1, 5], [2, 6]])
+    ds = SEALDataset(g, pos, neg, num_hops=1, max_nodes=8, max_edges=32)
+    assert len(ds) == 4
+    batch = ds.batch(np.arange(4))
+    assert batch.z.shape == (4, 8)
+    assert batch.y.tolist() == [1, 1, 0, 0]
+    assert batch.node_mask.sum() > 0
+    # static extraction matches dynamic
+    ds_static = SEALDataset(g, pos, neg, num_hops=1, max_nodes=8,
+                            max_edges=32, dynamic=False)
+    b2 = ds_static.batch(np.arange(4))
+    np.testing.assert_array_equal(batch.z, b2.z)
+
+
+@pytest.mark.parametrize("model_name", ["gcn", "sage", "gin", "dgcnn", "mlp"])
+def test_seal_models_forward(model_name):
+    from subgraph_sketching_tpu.models.seal import (
+        SEALDGCNN, SEALGCN, SEALGIN, SEALMLP, SEALSAGE,
+    )
+    ei, A = two_squares_bridge()
+    g = Graph(ei, 8, x=np.eye(8, dtype=np.float32))
+    pos = np.array([[0, 1], [4, 5]])
+    neg = np.array([[1, 5], [2, 6]])
+    ds = SEALDataset(g, pos, neg, num_hops=1, max_nodes=8, max_edges=32,
+                     max_dist=10)
+    raw = ds.batch(np.arange(4))
+    batch = {"z": jnp.asarray(raw.z), "node_mask": jnp.asarray(raw.node_mask),
+             "edge_index": jnp.asarray(raw.edge_index),
+             "edge_weight": jnp.asarray(raw.edge_weight),
+             "edge_mask": jnp.asarray(raw.edge_mask),
+             "x": jnp.asarray(raw.x)}
+    if model_name == "mlp":
+        model = SEALMLP(emb_dim=16)
+    elif model_name == "gcn":
+        model = SEALGCN(hidden_channels=16, num_layers=2, max_z=100,
+                        use_feature=True)
+    elif model_name == "sage":
+        model = SEALSAGE(hidden_channels=16, num_layers=2, max_z=100)
+    elif model_name == "gin":
+        model = SEALGIN(hidden_channels=16, num_layers=2, max_z=100)
+    else:
+        # the reference enforces k >= 10 for DGCNN (seal.py:196)
+        model = SEALDGCNN(hidden_channels=8, num_layers=2, max_z=100, k=10)
+    rng = jax.random.PRNGKey(0)
+    var = model.init({"params": rng, "dropout": rng}, batch, training=False)
+    out = model.apply(var, batch, training=False,
+                      mutable=["batch_stats"])[0] \
+        if model_name == "gin" else model.apply(var, batch, training=False)
+    assert out.shape == (4, 1)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_kge_models_score_and_train():
+    import optax
+    from subgraph_sketching_tpu.models.transx import KGEModel
+    for name, de, dr in [("transE", False, False), ("distmult", False, False),
+                         ("complEx", True, True), ("rotatE", True, False)]:
+        m = KGEModel(name, nentity=20, nrelation=2, hidden_dim=8, gamma=10.0,
+                     double_entity_embedding=de, double_relation_embedding=dr)
+        params = m.init_params(jax.random.PRNGKey(0))
+        links = jnp.asarray(np.array([[0, 1], [2, 3]], dtype=np.int32))
+        s = m.score_links(params, links)
+        assert s.shape == (2,)
+        opt = optax.adam(1e-2)
+        step = m.make_train_step(opt, negative_adversarial_sampling=True)
+        pos = jnp.asarray(np.array([[0, 0, 1], [2, 0, 3]], dtype=np.int32))
+        negs = jnp.asarray(np.array([[4, 5], [6, 7]], dtype=np.int32))
+        p2, _, loss = step(params, opt.init(params), pos, negs, False)
+        assert np.isfinite(float(loss))
