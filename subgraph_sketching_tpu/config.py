@@ -101,6 +101,7 @@ class Config:
     log_features: bool = False
 
     # ---- TPU-native additions (no reference equivalent) ----
+    platform: Optional[str] = None  # force jax platform ("cpu"/"tpu"); None = default
     seed: int = 0
     dtype: str = "float32"  # compute dtype for the MLP/conv path
     use_pallas: bool = True  # use Pallas kernels where available

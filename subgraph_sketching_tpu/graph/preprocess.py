@@ -196,3 +196,35 @@ def build_all_splits(splits, cfg: Config):
     get_hashed_train_val_test_datasets, src/datasets/elph.py:245-265)."""
     return {name: build_link_dataset(sd, cfg, name)
             for name, sd in splits.items()}
+
+
+def make_train_eval_dataset(train_ds: LinkDataset, n_pos_samples: int = 5000,
+                            negs_per_pos: int = 1000) -> LinkDataset:
+    """Small train subset for unbiased train-metric estimates on large
+    datasets (citation2) — reference make_train_eval_data,
+    src/datasets/elph.py:292-325.  Assumes same-source negatives aligned
+    with positives (asserted, like the reference)."""
+    n_pos_total = int(train_ds.labels.sum())
+    n_pos = min(n_pos_samples, n_pos_total)
+    pos = train_ds.links[:n_pos]
+    pos_sf = train_ds.subgraph_features[:n_pos]
+    n_neg = min(n_pos * negs_per_pos, len(train_ds.links) - n_pos_total)
+    neg = train_ds.links[n_pos_total:n_pos_total + n_neg]
+    neg_sf = train_ds.subgraph_features[n_pos_total:n_pos_total + n_neg]
+    if n_neg == n_pos * negs_per_pos:
+        assert (pos[:, 0].repeat(negs_per_pos) == neg[:, 0]).all(), (
+            "negatives have different source nodes to positives; delete "
+            "cached negatives and regenerate")
+    RA = None
+    if train_ds.RA is not None:
+        RA = np.concatenate([train_ds.RA[:n_pos],
+                             train_ds.RA[n_pos_total:n_pos_total + n_neg]])
+    return LinkDataset(
+        links=np.concatenate([pos, neg]),
+        labels=np.concatenate([np.ones(n_pos, np.float32),
+                               np.zeros(n_neg, np.float32)]),
+        edge_index=train_ds.edge_index, edge_weight=train_ds.edge_weight,
+        num_nodes=train_ds.num_nodes, x=train_ds.x,
+        degrees=train_ds.degrees,
+        subgraph_features=np.concatenate([pos_sf, neg_sf]), RA=RA,
+        sketches=train_ds.sketches)

@@ -1,0 +1,59 @@
+"""Structured metrics logging (the reference's wandb channel, decoupled).
+
+The reference logs through wandb with init/offline/disabled modes
+(src/wandb_setup.py:10-35) plus prints.  Here the structured sink is a local
+JSONL file (always works — this environment has no egress) and wandb becomes
+an optional passthrough when the package is importable and --wandb is set.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, Optional
+
+
+class MetricsLogger:
+    """log(dict) -> stdout summary + JSONL file (+ optional wandb)."""
+
+    def __init__(self, run_dir: Optional[str] = None, use_wandb: bool = False,
+                 config: Optional[Dict[str, Any]] = None, quiet: bool = True):
+        self.run_dir = run_dir
+        self.quiet = quiet
+        self._fh = None
+        self._step = 0
+        if run_dir:
+            os.makedirs(run_dir, exist_ok=True)
+            self._fh = open(os.path.join(run_dir, "metrics.jsonl"), "a")
+            if config:
+                with open(os.path.join(run_dir, "config.json"), "w") as f:
+                    json.dump(config, f, indent=2, default=str)
+        self._wandb = None
+        if use_wandb:
+            try:
+                import wandb
+                self._wandb = wandb
+                wandb.init(config=config or {})
+            except ImportError:
+                print("wandb requested but not installed; logging to JSONL only")
+
+    def log(self, metrics: Dict[str, Any], step: Optional[int] = None):
+        step = self._step if step is None else step
+        self._step = step + 1
+        rec = {"step": step, "time": time.time(), **metrics}
+        if self._fh:
+            self._fh.write(json.dumps(rec, default=float) + "\n")
+            self._fh.flush()
+        if self._wandb:
+            self._wandb.log(metrics, step=step)
+        if not self.quiet:
+            print({k: (round(v, 5) if isinstance(v, float) else v)
+                   for k, v in metrics.items()})
+
+    def finish(self):
+        if self._fh:
+            self._fh.close()
+            self._fh = None
+        if self._wandb:
+            self._wandb.finish()

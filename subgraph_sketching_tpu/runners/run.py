@@ -34,6 +34,9 @@ def set_seed(seed: int) -> np.random.Generator:
     return np.random.default_rng(seed)
 
 
+SEAL_MODELS = ("SEALDGCNN", "SEALGCN", "SEALSAGE", "SEALGIN")
+
+
 def build_trainer(cfg: Config, datasets, num_features: Optional[int]):
     if cfg.model == "BUDDY":
         trainer = BuddyTrainer(cfg, datasets["train"], num_features)
@@ -45,15 +48,40 @@ def build_trainer(cfg: Config, datasets, num_features: Optional[int]):
             f"model {cfg.model} is not wired into the runner yet")
     for split in ("valid", "test"):
         trainer.stage(split, datasets[split])
+    # citation2: evaluate train metric on a small subset with aligned
+    # same-source negatives (reference get_loaders, data.py:55-59)
+    if cfg.dataset_name == "ogbl-citation2" and cfg.model == "BUDDY":
+        from subgraph_sketching_tpu.graph.preprocess import (
+            make_train_eval_dataset,
+        )
+        trainer.stage("train_eval", make_train_eval_dataset(datasets["train"]))
+        trainer.train_eval_split = "train_eval"
     return trainer
+
+
+def build_seal_trainer(cfg: Config, splits):
+    from subgraph_sketching_tpu.graph.seal import SEALDataset
+    from subgraph_sketching_tpu.train.seal_loop import SealTrainer
+    datasets = {}
+    for name, sd in splits.items():
+        dynamic = {"train": cfg.dynamic_train, "valid": cfg.dynamic_val,
+                   "test": cfg.dynamic_test}[name]
+        datasets[name] = SEALDataset(
+            sd.graph, sd.pos_edges, sd.neg_edges, num_hops=cfg.num_hops,
+            node_label=cfg.node_label, ratio_per_hop=cfg.ratio_per_hop,
+            max_nodes_per_hop=cfg.max_nodes_per_hop, max_dist=cfg.max_dist,
+            use_feature=cfg.use_feature, dynamic=True)
+    num_features = (None if splits["train"].graph.x is None
+                    else splits["train"].graph.x.shape[-1])
+    return SealTrainer(cfg, datasets, num_features)
 
 
 def run(cfg: Config):
     """Rep loop with best-val model selection (reference run.py:50-110)."""
-    if cfg.model not in ("BUDDY", "ELPH"):
+    if cfg.model not in ("BUDDY", "ELPH") + SEAL_MODELS:
         raise NotImplementedError(
             f"model {cfg.model} is not wired into the runner yet "
-            f"(available: BUDDY, ELPH)")
+            f"(available: BUDDY, ELPH, {', '.join(SEAL_MODELS)})")
     print(f"executing on {jax.devices()[0].platform}")
     results_list = []
     for rep in range(cfg.reps):
@@ -62,12 +90,15 @@ def run(cfg: Config):
         if cfg.eval_metric != "hits":
             eval_metric = cfg.eval_metric
         t0 = time.time()
-        datasets = {name: build_link_dataset(sd, cfg, name)
-                    for name, sd in splits.items()}
+        if cfg.model in SEAL_MODELS:
+            trainer = build_seal_trainer(cfg, splits)
+        else:
+            datasets = {name: build_link_dataset(sd, cfg, name)
+                        for name, sd in splits.items()}
+            num_features = (None if datasets["train"].x is None
+                            else datasets["train"].x.shape[-1])
+            trainer = build_trainer(cfg, datasets, num_features)
         print(f"preprocessing ran in {time.time() - t0:.2f}s")
-        num_features = (None if datasets["train"].x is None
-                        else datasets["train"].x.shape[-1])
-        trainer = build_trainer(cfg, datasets, num_features)
         state = trainer.init_state(jax.random.PRNGKey(rep))
 
         val_res = test_res = train_res = 0.0
@@ -78,7 +109,9 @@ def run(cfg: Config):
             state, loss = trainer.train_epoch(state, host_rng,
                                               jax.random.PRNGKey(epoch))
             if (epoch + 1) % cfg.eval_steps == 0:
-                results = test(trainer, state, cfg, eval_metric)
+                results = test(trainer, state, cfg, eval_metric,
+                               train_split=getattr(trainer, "train_eval_split",
+                                                   "train"))
                 for key, result in results.items():
                     train_res, tmp_val, tmp_test = (list(result) + [0.0])[:3]
                     if tmp_val > val_res:
@@ -134,6 +167,11 @@ def main(argv=None):
         if d[k] is not None and d[k] < 0:
             d[k] = inf
     cfg = Config(**d)
+    if cfg.platform:
+        # config.update is the reliable way to force a platform here: the
+        # axon sitecustomize imports jax at interpreter start, which latches
+        # platform state before env vars set later can take effect
+        jax.config.update("jax_platforms", cfg.platform)
     print(cfg)
     return run(cfg)
 

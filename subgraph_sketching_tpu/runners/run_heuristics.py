@@ -1,0 +1,101 @@
+"""Heuristic link-prediction baselines: RA, CN, AA, PPR.
+
+Reference: src/runners/run_heuristics.py:23-108.  Scores are computed on the
+train message-passing graph for train/val splits and the test graph for the
+test split, then evaluated with Hits@K / MRR / AUC (on-device metric math).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+from subgraph_sketching_tpu.config import Config
+from subgraph_sketching_tpu.graph.datasets import get_data
+from subgraph_sketching_tpu.heuristics import (
+    adamic_adar, common_neighbours, personalized_pagerank, resource_allocation,
+)
+from subgraph_sketching_tpu.train.evaluation import (
+    evaluate_auc, evaluate_hits, evaluate_mrr,
+)
+
+HEURISTICS = {
+    "RA": resource_allocation,
+    "CN": common_neighbours,
+    "AA": adamic_adar,
+    "PPR": None,  # special-cased: returns reordered links
+}
+
+
+def run(cfg: Config, heuristics=("RA", "CN", "AA", "PPR")):
+    # dataset-specific K (reference run_heuristics.py:27-31)
+    k = 100
+    if cfg.dataset_name == "ogbl-collab":
+        k = 50
+    elif cfg.dataset_name == "ogbl-ppi":
+        k = 20
+
+    all_results = {}
+    for name in heuristics:
+        results_list = []
+        t0 = time.time()
+        for rep in range(cfg.reps):
+            cfg.seed = rep
+            splits, directed, eval_metric = get_data(cfg)
+            A_train = splits["train"].graph.csr()
+            A_test = splits["test"].graph.csr()
+
+            def score(A, links):
+                if name == "PPR":
+                    s, _ = personalized_pagerank(A, links)
+                    return s
+                return HEURISTICS[name](A, links)
+
+            preds = {}
+            for split, A in (("train", A_train), ("valid", A_train),
+                             ("test", A_test)):
+                sd = splits[split]
+                preds[split] = (score(A, sd.pos_edges), score(A, sd.neg_edges))
+
+            (ptr, ntr), (pv, nv), (pt, nt) = (preds["train"], preds["valid"],
+                                              preds["test"])
+            if cfg.dataset_name == "ogbl-citation2":
+                res = evaluate_mrr(ptr, ntr, pv, nv, pt, nt)
+                key = "MRR"
+            else:
+                res = evaluate_hits(ptr, ntr, pv, nv, pt, nt, Ks=[k])
+                key = f"Hits@{k}"
+            print(f"{name} rep {rep}: {key} {res[key]}")
+            results_list.append(res[key])
+            auc = evaluate_auc(np.concatenate([pv, nv]),
+                               np.concatenate([np.ones(len(pv)),
+                                               np.zeros(len(nv))]),
+                               np.concatenate([pt, nt]),
+                               np.concatenate([np.ones(len(pt)),
+                                               np.zeros(len(nt))]))
+            print(f"{name} rep {rep}: AUC {auc['AUC']}")
+        arr = np.array(results_list) * 100
+        summary = {f"{name}_train_mean": arr[:, 0].mean(),
+                   f"{name}_val_mean": arr[:, 1].mean(),
+                   f"{name}_test_mean": arr[:, 2].mean(),
+                   f"{name}_test_std": arr[:, 2].std()}
+        print(summary)
+        print(f"{name} ran in {time.time() - t0:.1f}s for {cfg.reps} reps")
+        all_results[name] = summary
+    return all_results
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--dataset_name", type=str, default="Cora")
+    parser.add_argument("--reps", type=int, default=1)
+    parser.add_argument("--heuristics", type=str, default="RA,CN,AA,PPR")
+    args = parser.parse_args(argv)
+    cfg = Config(dataset_name=args.dataset_name, reps=args.reps)
+    return run(cfg, tuple(args.heuristics.split(",")))
+
+
+if __name__ == "__main__":
+    main()

@@ -15,6 +15,7 @@ shapes:
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -201,20 +202,28 @@ def subgraph_features_batched(links, sk: Sketches, params: SketchParams,
     """Compute subgraph features over link batches to bound device memory.
 
     Mirrors the reference's 11M-link batching (src/hashing.py:258-270) but
-    with a power-of-two default tuned for TPU HBM.  The last batch is padded
-    to keep shapes static (one compiled program for all batches).
+    with power-of-two buckets tuned for TPU HBM: every batch (including the
+    only one, for small splits) is padded to a power of two, so different
+    splits/datasets share compiled programs instead of recompiling per link
+    count.
     """
     n = links.shape[0]
-    if n <= batch_size:
-        return subgraph_features(jnp.asarray(links), sk, params)
-    fn = jax.jit(lambda l: subgraph_features(l, sk, params))
-    out = []
-    for s in range(0, n, batch_size):
-        chunk = links[s:s + batch_size]
-        pad = batch_size - chunk.shape[0]
+    bucket = 1 << max(8, (max(1, min(n, batch_size)) - 1).bit_length())
+    bucket = min(bucket, batch_size)
+    fn = _subgraph_features_jit  # module-level: sketches are traced args,
+    out = []                     # so splits/datasets share compilations
+    for s in range(0, n, bucket):
+        chunk = jnp.asarray(links[s:s + bucket])
+        pad = bucket - chunk.shape[0]
         if pad:
-            chunk = jnp.concatenate([jnp.asarray(chunk),
+            chunk = jnp.concatenate([chunk,
                                      jnp.zeros((pad, 2), dtype=chunk.dtype)])
-        res = fn(jnp.asarray(chunk))
-        out.append(res[:batch_size - pad] if pad else res)
-    return jnp.concatenate(out, axis=0)
+        res = fn(chunk, sk, params)
+        out.append(res[:bucket - pad] if pad else res)
+    return jnp.concatenate(out, axis=0)[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def _subgraph_features_jit(links: jnp.ndarray, sk: Sketches,
+                           params: SketchParams) -> jnp.ndarray:
+    return subgraph_features(links, sk, params)

@@ -21,6 +21,7 @@ from __future__ import annotations
 import math
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
+import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -68,6 +69,44 @@ def _epoch_permutation(num_links: int, batch_size: int, rng: np.random.Generator
 
 # ------------------------------------------------------------------ BUDDY --
 
+class BuddyWithEmbedding(nn.Module):
+    """BUDDY plus an optional trainable node-embedding table.
+
+    The reference keeps the embedding outside the model and splices its
+    parameters into the optimizer (run.py:134-138, select_embedding
+    utils.py:46-63); here it is one module so the params tree stays unified.
+    propagate_embeddings applies SIGN-style diffusion to the table before
+    the per-link lookup (reference propagate_embeddings_func,
+    models/elph.py:271-274 — used for ogbl-ddi).
+    """
+
+    buddy: Any
+    num_nodes: int = 0
+    hidden_channels: int = 0
+    use_embedding: bool = False
+    propagate: bool = False
+    sign_k: int = 0
+    sign_dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, links=None, edge_index=None, num_nodes=None,
+                 *, training: bool = False, **kwargs):
+        from subgraph_sketching_tpu.models.gnn import SIGNEmbedding
+
+        emb = None
+        if self.use_embedding:
+            table = self.param(
+                "node_embedding", nn.initializers.xavier_uniform(),
+                (self.num_nodes, self.hidden_channels))
+            if self.propagate and edge_index is not None:
+                table = SIGNEmbedding(self.hidden_channels,
+                                      self.hidden_channels, self.sign_k,
+                                      self.sign_dropout, name="sign_embedding")(
+                    table, edge_index, self.num_nodes, training=training)
+            emb = table[links]
+        return self.buddy(emb=emb, training=training, **kwargs)
+
+
 class BuddyTrainer:
     """Owns the model, device-resident split data, and jitted step fns."""
 
@@ -75,17 +114,25 @@ class BuddyTrainer:
                  num_features: Optional[int]):
         self.cfg = cfg
         use_feature = cfg.use_feature and dataset.x is not None
-        self.model = BUDDY(
+        self.use_embedding = cfg.train_node_embedding
+        buddy = BUDDY(
             sf_dim=cfg.sf_dim,
             hidden_channels=cfg.hidden_channels,
             use_feature=use_feature,
             sign_k=cfg.sign_k,
             append_normalised=cfg.add_normed_features,
             use_RA=cfg.use_RA,
+            use_embedding=self.use_embedding,
             label_dropout=cfg.label_dropout,
             feature_dropout=cfg.feature_dropout,
             sign_dropout=cfg.sign_dropout,
         )
+        self.model = BuddyWithEmbedding(
+            buddy=buddy, num_nodes=dataset.num_nodes,
+            hidden_channels=cfg.hidden_channels,
+            use_embedding=self.use_embedding,
+            propagate=cfg.propagate_embeddings, sign_k=max(cfg.sign_k, 1),
+            sign_dropout=cfg.sign_dropout)
         self.optimizer = make_optimizer(cfg)
         self.loss_fn = get_loss(cfg.loss)
         self.use_feature = use_feature
@@ -100,6 +147,8 @@ class BuddyTrainer:
             "sf": jnp.asarray(ds.subgraph_features),
             "degrees": jnp.asarray(ds.degrees),
         }
+        if self.use_embedding and self.cfg.propagate_embeddings:
+            d["edge_index"] = jnp.asarray(ds.edge_index)
         if self.use_feature:
             d["x"] = jnp.asarray(ds.x)
         if self.cfg.use_RA:
@@ -114,9 +163,12 @@ class BuddyTrainer:
             "sf": data["sf"][safe],
             "labels": data["labels"][safe],
             "mask": (idx >= 0),
+            "links": links,
             "src_degree": data["degrees"][links[:, 0]],
             "dst_degree": data["degrees"][links[:, 1]],
         }
+        if self.use_embedding and self.cfg.propagate_embeddings:
+            batch["edge_index"] = data["edge_index"]
         if self.cfg.use_struct_feature is False:
             batch["sf"] = jnp.zeros_like(batch["sf"])
         if self.use_feature:
@@ -128,6 +180,8 @@ class BuddyTrainer:
     def _apply(self, params, batch_stats, batch, training, dropout_rng=None):
         variables = {"params": params, "batch_stats": batch_stats}
         kwargs = dict(
+            links=batch["links"],
+            edge_index=batch.get("edge_index"),
             sf=batch["sf"],
             node_features=batch.get("node_features"),
             src_degree=batch["src_degree"],
@@ -149,6 +203,7 @@ class BuddyTrainer:
         batch = self._batch(data, idx)
         variables = self.model.init(
             {"params": rng, "dropout": rng},
+            links=batch["links"], edge_index=batch.get("edge_index"),
             sf=batch["sf"], node_features=batch.get("node_features"),
             src_degree=batch["src_degree"], dst_degree=batch["dst_degree"],
             RA=batch.get("RA"), training=False)

@@ -1,0 +1,167 @@
+"""SEAL training/inference loop.
+
+Reference: the generic ``train``/``get_preds`` path (src/runners/train.py:
+92-157, src/runners/inference.py:55-95) over PyG DataLoader batches.  Here
+subgraph extraction stays on host (graph/seal.py) but every batch is a dense
+padded stack with static shapes, so the train step compiles once.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from subgraph_sketching_tpu.config import Config
+from subgraph_sketching_tpu.graph.seal import SEALDataset
+from subgraph_sketching_tpu.models.seal import (
+    SEALDGCNN, SEALGCN, SEALGIN, SEALSAGE,
+)
+from subgraph_sketching_tpu.train.loops import TrainState, make_optimizer
+from subgraph_sketching_tpu.train.losses import get_loss
+
+
+def _dgcnn_k(dataset: SEALDataset, sortpool_k: float) -> int:
+    """k from the sortpool percentile of subgraph sizes, min 10
+    (reference src/models/seal.py:186-197)."""
+    if sortpool_k > 1:
+        return max(10, int(sortpool_k))
+    sample = min(1000, len(dataset))
+    sizes = []
+    for i in range(sample):
+        nodes, *_ = dataset.extract_one(i)
+        sizes.append(min(len(nodes), dataset.max_nodes))
+    sizes.sort()
+    k = sizes[max(0, int(math.ceil(sortpool_k * len(sizes))) - 1)]
+    return max(10, int(k))
+
+
+def build_seal_model(cfg: Config, train_dataset: SEALDataset,
+                     num_features: Optional[int]):
+    use_feature = cfg.use_feature and train_dataset.x is not None
+    common = dict(hidden_channels=cfg.hidden_channels,
+                  num_layers=cfg.num_seal_layers, max_z=cfg.max_z,
+                  use_feature=use_feature, dropout=cfg.dropout)
+    if cfg.model == "SEALDGCNN":
+        return SEALDGCNN(**common, k=_dgcnn_k(train_dataset, cfg.sortpool_k))
+    if cfg.model == "SEALGCN":
+        return SEALGCN(**common, pooling=cfg.seal_pooling)
+    if cfg.model == "SEALSAGE":
+        return SEALSAGE(**common)
+    if cfg.model == "SEALGIN":
+        return SEALGIN(**common)
+    raise NotImplementedError(cfg.model)
+
+
+class SealTrainer:
+    """Host extraction + jitted dense-batch steps."""
+
+    def __init__(self, cfg: Config, datasets: Dict[str, SEALDataset],
+                 num_features: Optional[int]):
+        self.cfg = cfg
+        self.datasets = datasets
+        self.model = build_seal_model(cfg, datasets["train"], num_features)
+        self.optimizer = make_optimizer(cfg)
+        self.loss_fn = get_loss(cfg.loss)
+
+    def _to_device(self, raw):
+        batch = {"z": jnp.asarray(raw.z),
+                 "node_mask": jnp.asarray(raw.node_mask),
+                 "edge_index": jnp.asarray(raw.edge_index),
+                 "edge_weight": jnp.asarray(raw.edge_weight),
+                 "edge_mask": jnp.asarray(raw.edge_mask)}
+        if raw.x is not None:
+            batch["x"] = jnp.asarray(raw.x)
+        return batch, jnp.asarray(raw.y)
+
+    def init_state(self, rng: jax.Array) -> TrainState:
+        raw = self.datasets["train"].batch(
+            np.arange(min(2, len(self.datasets["train"]))))
+        batch, _ = self._to_device(raw)
+        variables = self.model.init({"params": rng, "dropout": rng}, batch,
+                                    training=False)
+        params = variables["params"]
+        return TrainState(params, variables.get("batch_stats", {}),
+                          self.optimizer.init(params))
+
+    def _step_fn(self):
+        @jax.jit
+        def step(state: TrainState, batch, y, mask, rng):
+            def loss_fn(params):
+                variables = {"params": params,
+                             "batch_stats": state.batch_stats}
+                out = self.model.apply(variables, batch, training=True,
+                                       mutable=["batch_stats"],
+                                       rngs={"dropout": rng})
+                logits, updates = out
+                loss = self.loss_fn(logits, y, mask)
+                return loss, updates.get("batch_stats", {})
+
+            (loss, new_bs), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            updates, new_opt = self.optimizer.update(grads, state.opt_state,
+                                                     state.params)
+            return TrainState(optax.apply_updates(state.params, updates),
+                              new_bs, new_opt), loss
+
+        return step
+
+    def num_links(self, split: str) -> int:
+        return len(self.datasets[split])
+
+    def train_epoch(self, state: TrainState, rng: np.random.Generator,
+                    epoch_rng: jax.Array) -> Tuple[TrainState, float]:
+        if not hasattr(self, "_step"):
+            self._step = self._step_fn()
+        ds = self.datasets["train"]
+        n = len(ds)
+        if self.cfg.dynamic_train and self.cfg.train_samples != math.inf:
+            n = (int(self.cfg.train_samples * n)
+                 if self.cfg.train_samples < 1 else
+                 min(int(self.cfg.train_samples), n))
+        perm = rng.permutation(len(ds))[:n]
+        bs = self.cfg.batch_size
+        total = 0.0
+        for s in range(0, n, bs):
+            idx = perm[s:s + bs]
+            pad = bs - len(idx)
+            mask = np.concatenate([np.ones(len(idx), bool),
+                                   np.zeros(pad, bool)])
+            if pad:
+                idx = np.concatenate([idx, np.zeros(pad, np.int64)])
+            raw = ds.batch(idx)
+            batch, y = self._to_device(raw)
+            epoch_rng, key = jax.random.split(epoch_rng)
+            state, loss = self._step(state, batch, y, jnp.asarray(mask), key)
+            total += float(loss) * bs
+        return state, total / max(n, 1)
+
+    def predict(self, state: TrainState, split: str,
+                n_samples: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
+        ds = self.datasets[split]
+        n = len(ds) if n_samples is None else min(len(ds), n_samples)
+        bs = self.cfg.batch_size
+
+        @jax.jit
+        def fwd(batch):
+            variables = {"params": state.params,
+                         "batch_stats": state.batch_stats}
+            return self.model.apply(variables, batch, training=False).ravel()
+
+        preds = []
+        for s in range(0, n, bs):
+            idx = np.arange(s, min(s + bs, n))
+            pad = bs - len(idx)
+            if pad:
+                idx = np.concatenate([idx, np.zeros(pad, np.int64)])
+            raw = ds.batch(idx)
+            batch, _ = self._to_device(raw)
+            out = np.asarray(fwd(batch))
+            preds.append(out[:bs - pad] if pad else out)
+        pred = np.concatenate(preds)[:n]
+        labels = ds.labels[:n]
+        return pred, labels
