@@ -146,6 +146,50 @@ class SEALDataset:
         return nodes, z, (u, v, w), x, y, float(sd), float(dd)
 
     def extract_batch(self, indices: np.ndarray) -> SealBatchArrays:
+        from subgraph_sketching_tpu.graph.native import (
+            NODE_LABELS, have_native,
+        )
+        if (have_native() and self.node_label in NODE_LABELS
+                and not self.directed):
+            return self._extract_batch_native(indices)
+        return self._extract_batch_python(indices)
+
+    def _extract_batch_native(self, indices: np.ndarray) -> SealBatchArrays:
+        """C++ OpenMP extraction (graph/native.py) — same semantics, node
+        ordering within a subgraph may differ from the python path (both are
+        valid: labels/pooling are order-invariant, center nodes stay at
+        0/1)."""
+        from subgraph_sketching_tpu.graph.native import (
+            seal_extract_batch_native,
+        )
+        B, N, E = len(indices), self.max_nodes, self.max_edges
+        links = self.links[np.asarray(indices)]
+        nodes, z, src, dst, w, counts = seal_extract_batch_native(
+            self.A.indptr, self.A.indices,
+            np.asarray(self.A.data, dtype=np.float32), self.A.shape[0],
+            links, self.num_hops, N, E, self.max_dist, self.node_label,
+            self.ratio_per_hop, self.max_nodes_per_hop)
+        n_arange = np.arange(N)
+        e_arange = np.arange(E)
+        node_mask = n_arange[None, :] < counts[:, :1]
+        edge_mask = e_arange[None, :] < counts[:, 1:2]
+        x = None
+        if self.x is not None:
+            safe = np.maximum(nodes, 0)
+            x = self.x[safe] * node_mask[..., None]
+        degs = np.asarray(self.A.sum(axis=1)).ravel()
+        cap = self.max_nodes_per_hop or np.inf
+        return SealBatchArrays(
+            z=z * node_mask, node_mask=node_mask,
+            edge_index=np.stack([src, dst], axis=-1) * edge_mask[..., None],
+            edge_weight=w * edge_mask, edge_mask=edge_mask,
+            x=x.astype(np.float32) if x is not None else None,
+            node_ids=np.where(node_mask, nodes, -1),
+            y=self.labels[np.asarray(indices)],
+            src_degree=np.minimum(degs[links[:, 0]], cap).astype(np.float32),
+            dst_degree=np.minimum(degs[links[:, 1]], cap).astype(np.float32))
+
+    def _extract_batch_python(self, indices: np.ndarray) -> SealBatchArrays:
         B, N, E = len(indices), self.max_nodes, self.max_edges
         d = self.x.shape[1] if self.x is not None else 0
         out = SealBatchArrays(

@@ -48,6 +48,22 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     return optax.adam(cfg.lr)
 
 
+def eval_subset(total: int, n_samples, dataset_name: str = "") -> np.ndarray:
+    """Indices to evaluate when subsampling a split.
+
+    The reference shuffles its val/test loaders so taking the first n gives a
+    random pos/neg mix (data.py:47-54); a plain prefix would be all
+    positives.  citation2 keeps aligned same-source negatives and must stay
+    ordered (data.py:48-49).
+    """
+    if n_samples is None or n_samples >= total:
+        return np.arange(total, dtype=np.int32)
+    if dataset_name.startswith("ogbl-citation"):
+        return np.arange(n_samples, dtype=np.int32)
+    rng = np.random.default_rng(12345)
+    return np.sort(rng.permutation(total)[:n_samples]).astype(np.int32)
+
+
 def _epoch_permutation(num_links: int, batch_size: int, rng: np.random.Generator,
                        train_samples: float = math.inf) -> np.ndarray:
     """[steps, batch_size] int32; -1 marks padding (masked out of the loss).
@@ -273,20 +289,20 @@ class BuddyTrainer:
         if not hasattr(self, "_pred_jit"):
             self._pred_jit = self._predict_fn()
         data = self._data[split]
-        n = int(data["links"].shape[0])
-        if n_samples is not None:
-            n = min(n, n_samples)
+        total = int(data["links"].shape[0])
+        sel = eval_subset(total, n_samples, self.cfg.dataset_name)
+        n = len(sel)
         bs = min(self.cfg.eval_batch_size, max(1, n))
         preds = []
         for s in range(0, n, bs):
-            idx = np.arange(s, min(s + bs, n), dtype=np.int32)
+            idx = sel[s:min(s + bs, n)]
             pad = bs - len(idx)
             if pad:
                 idx = np.concatenate([idx, np.full(pad, -1, np.int32)])
             out = np.asarray(self._pred_jit(state, data, jnp.asarray(idx)))
             preds.append(out[:bs - pad] if pad else out)
         pred = np.concatenate(preds)
-        labels = np.asarray(data["labels"])[:n]
+        labels = np.asarray(data["labels"])[sel]
         return pred, labels
 
 
@@ -439,9 +455,9 @@ class ElphTrainer:
         data = self._data[split]
         feats, _ = self._node_feats(state.params["gnn"],
                                     state.batch_stats["gnn"], data, False)
-        n = int(data["links"].shape[0])
-        if n_samples is not None:
-            n = min(n, n_samples)
+        total = int(data["links"].shape[0])
+        sel = eval_subset(total, n_samples, self.cfg.dataset_name)
+        n = len(sel)
         bs = min(self.cfg.eval_batch_size, max(1, n))
 
         @jax.jit
@@ -453,8 +469,7 @@ class ElphTrainer:
 
         preds = []
         for s in range(0, n, bs):
-            e = min(s + bs, n)
-            idx = np.arange(s, e, dtype=np.int32)
+            idx = sel[s:min(s + bs, n)]
             pad = bs - len(idx)
             if pad:
                 idx = np.concatenate([idx, np.zeros(pad, np.int32)])
@@ -462,5 +477,5 @@ class ElphTrainer:
                                    data["sf"][jnp.asarray(idx)]))
             preds.append(out[:bs - pad] if pad else out)
         pred = np.concatenate(preds)
-        labels = np.asarray(data["labels"])[:n]
+        labels = np.asarray(data["labels"])[sel]
         return pred, labels

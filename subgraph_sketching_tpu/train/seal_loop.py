@@ -142,8 +142,10 @@ class SealTrainer:
 
     def predict(self, state: TrainState, split: str,
                 n_samples: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
+        from subgraph_sketching_tpu.train.loops import eval_subset
         ds = self.datasets[split]
-        n = len(ds) if n_samples is None else min(len(ds), n_samples)
+        sel = eval_subset(len(ds), n_samples, self.cfg.dataset_name)
+        n = len(sel)
         bs = self.cfg.batch_size
 
         @jax.jit
@@ -154,7 +156,7 @@ class SealTrainer:
 
         preds = []
         for s in range(0, n, bs):
-            idx = np.arange(s, min(s + bs, n))
+            idx = sel[s:min(s + bs, n)]
             pad = bs - len(idx)
             if pad:
                 idx = np.concatenate([idx, np.zeros(pad, np.int64)])
@@ -163,5 +165,5 @@ class SealTrainer:
             out = np.asarray(fwd(batch))
             preds.append(out[:bs - pad] if pad else out)
         pred = np.concatenate(preds)[:n]
-        labels = ds.labels[:n]
+        labels = ds.labels[sel]
         return pred, labels

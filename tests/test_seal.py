@@ -142,3 +142,35 @@ def test_kge_models_score_and_train():
         negs = jnp.asarray(np.array([[4, 5], [6, 7]], dtype=np.int32))
         p2, _, loss = step(params, opt.init(params), pos, negs, False)
         assert np.isfinite(float(loss))
+
+
+def test_native_extraction_matches_python():
+    """C++ extractor must match the python path semantically (node sets, z
+    label multisets, edge counts, labels/degrees) — ordering may differ."""
+    from subgraph_sketching_tpu.graph.native import have_native
+    if not have_native():
+        pytest.skip("native toolchain unavailable")
+    from subgraph_sketching_tpu.graph.synthetic import barabasi_albert_graph
+    n = 300
+    g = Graph(barabasi_albert_graph(n, 4, seed=3), n,
+              x=np.random.default_rng(0).random((n, 4), dtype=np.float32))
+    rng = np.random.default_rng(5)
+    pos = rng.integers(0, n, (30, 2)).astype(np.int32)
+    neg = rng.integers(0, n, (30, 2)).astype(np.int32)
+    for num_hops, label in [(1, "drnl"), (2, "drnl"), (1, "hop"), (1, "zo")]:
+        # max_nodes/max_edges big enough that nothing truncates: under
+        # truncation the two paths legitimately keep different subsets
+        ds = SEALDataset(g, pos, neg, num_hops=num_hops, node_label=label,
+                         max_nodes=300, max_edges=4096, max_dist=10)
+        idx = np.arange(20)
+        bn = ds._extract_batch_native(idx)
+        bp = ds._extract_batch_python(idx)
+        for i in range(20):
+            assert (set(bn.node_ids[i][bn.node_mask[i]].tolist())
+                    == set(bp.node_ids[i][bp.node_mask[i]].tolist()))
+            assert (sorted(bn.z[i][bn.node_mask[i]].tolist())
+                    == sorted(bp.z[i][bp.node_mask[i]].tolist())), (
+                        f"hops={num_hops} label={label} link {i}")
+            assert bn.edge_mask[i].sum() == bp.edge_mask[i].sum()
+        np.testing.assert_allclose(bn.y, bp.y)
+        np.testing.assert_allclose(bn.src_degree, bp.src_degree)
