@@ -102,6 +102,7 @@ class Config:
 
     # ---- TPU-native additions (no reference equivalent) ----
     platform: Optional[str] = None  # force jax platform ("cpu"/"tpu"); None = default
+    profile_dir: Optional[str] = None  # write a jax.profiler trace of epoch 0
     seed: int = 0
     dtype: str = "float32"  # compute dtype for the MLP/conv path
     use_pallas: bool = True  # use Pallas kernels where available

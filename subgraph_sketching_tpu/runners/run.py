@@ -83,6 +83,11 @@ def run(cfg: Config):
             f"model {cfg.model} is not wired into the runner yet "
             f"(available: BUDDY, ELPH, {', '.join(SEAL_MODELS)})")
     print(f"executing on {jax.devices()[0].platform}")
+    from subgraph_sketching_tpu.metrics_logging import MetricsLogger
+    logger = MetricsLogger(
+        run_dir=cfg.checkpoint_dir, use_wandb=cfg.wandb,
+        config=None if cfg.checkpoint_dir is None else
+        __import__("json").loads(cfg.to_json()))
     results_list = []
     for rep in range(cfg.reps):
         host_rng = set_seed(rep)
@@ -106,8 +111,17 @@ def run(cfg: Config):
         print(f"running repetition {rep}")
         for epoch in range(cfg.epochs):
             t0 = time.time()
-            state, loss = trainer.train_epoch(state, host_rng,
-                                              jax.random.PRNGKey(epoch))
+            # structured tracing (the reference has wall-clock prints only,
+            # SURVEY.md §5); epoch 1 is traced so compile noise from epoch 0
+            # stays out of the profile
+            if cfg.profile_dir and epoch == 1 and rep == 0:
+                with jax.profiler.trace(cfg.profile_dir):
+                    state, loss = trainer.train_epoch(
+                        state, host_rng, jax.random.PRNGKey(epoch))
+                print(f"wrote profiler trace to {cfg.profile_dir}")
+            else:
+                state, loss = trainer.train_epoch(state, host_rng,
+                                                  jax.random.PRNGKey(epoch))
             if (epoch + 1) % cfg.eval_steps == 0:
                 results = test(trainer, state, cfg, eval_metric,
                                train_split=getattr(trainer, "train_eval_split",
@@ -116,6 +130,17 @@ def run(cfg: Config):
                     train_res, tmp_val, tmp_test = (list(result) + [0.0])[:3]
                     if tmp_val > val_res:
                         val_res, test_res, best_epoch = tmp_val, tmp_test, epoch
+                    # per-rep metric dict mirrors the reference's wandb keys
+                    # (run.py:82-88)
+                    logger.log({f"rep{rep}_loss": loss,
+                                f"rep{rep}_Train{key}": 100 * train_res,
+                                f"rep{rep}_Val{key}": 100 * val_res,
+                                f"rep{rep}_tmp_val{key}": 100 * tmp_val,
+                                f"rep{rep}_tmp_test{key}": 100 * tmp_test,
+                                f"rep{rep}_Test{key}": 100 * test_res,
+                                f"rep{rep}_best_epoch": best_epoch,
+                                f"rep{rep}_epoch_time": time.time() - t0},
+                               step=epoch)
                     print(key)
                     print(f"Epoch: {epoch:02d}, Best epoch: {best_epoch}, "
                           f"Loss: {loss:.4f}, Train: {100 * train_res:.2f}%, "
@@ -134,7 +159,9 @@ def run(cfg: Config):
                "test_acc_std": arr[:, 0].std(), "val_acc_std": arr[:, 1].std()})
     if cfg.save_model and cfg.checkpoint_dir:
         from subgraph_sketching_tpu.train.checkpoint import save_checkpoint
-        save_checkpoint(cfg.checkpoint_dir, state, step=cfg.epochs)
+        path = save_checkpoint(cfg.checkpoint_dir, state, step=cfg.epochs)
+        print(f"saved checkpoint to {path}")
+    logger.finish()
     return results_list
 
 

@@ -325,11 +325,13 @@ class ElphTrainer:
         self.sketch_params = sketch_params
         use_feature = cfg.use_feature and dataset.x is not None
         self.use_feature = use_feature
+        self.use_embedding = cfg.train_node_embedding
+        self.num_nodes = dataset.num_nodes
         self.gnn = ELPH(sketch_params, cfg.hidden_channels, use_feature,
                         cfg.feature_prop, cfg.feature_dropout)
         self.predictor = LinkPredictor(
             sketch_params.sf_dim, cfg.hidden_channels, use_feature,
-            False, cfg.label_dropout, cfg.feature_dropout)
+            self.use_embedding, cfg.label_dropout, cfg.feature_dropout)
         self.optimizer = make_optimizer(cfg)
         self.loss_fn = get_loss(cfg.loss)
         self._data: Dict[str, Dict[str, jnp.ndarray]] = {}
@@ -388,9 +390,19 @@ class ElphTrainer:
         links0 = data["links"][:2]
         sf0 = data["sf"][:2]
         nf0 = feats[links0] if feats is not None else None
+        emb0 = None
+        emb_table = None
+        if self.use_embedding:
+            # trainable transductive embeddings (reference select_embedding,
+            # utils.py:46-63; spliced into the ELPH predictor path)
+            emb_table = jax.nn.initializers.xavier_uniform()(
+                rng, (self.num_nodes, self.cfg.hidden_channels))
+            emb0 = emb_table[links0]
         pred_vars = self.predictor.init({"params": rng, "dropout": rng}, sf0,
-                                        nf0, training=False)
+                                        nf0, emb0, training=False)
         params = {"gnn": gnn_vars["params"], "predictor": pred_vars["params"]}
+        if self.use_embedding:
+            params["node_embedding"] = emb_table
         batch_stats = {"gnn": gnn_vars.get("batch_stats", {}),
                        "predictor": pred_vars.get("batch_stats", {})}
         return TrainState(params, batch_stats, self.optimizer.init(params))
@@ -412,10 +424,12 @@ class ElphTrainer:
                     feats, new_gnn_bs = self._node_feats(
                         params["gnn"], st.batch_stats["gnn"], data, True, k1)
                     nf = feats[links_b] if feats is not None else None
+                    emb_b = (params["node_embedding"][links_b]
+                             if self.use_embedding else None)
                     pv = {"params": params["predictor"],
                           "batch_stats": st.batch_stats["predictor"]}
                     logits, updates = self.predictor.apply(
-                        pv, sf_b, nf, training=True,
+                        pv, sf_b, nf, emb_b, training=True,
                         mutable=["batch_stats"], rngs={"dropout": k2})
                     loss = self.loss_fn(logits, labels_b, mask)
                     return loss, {"gnn": new_gnn_bs,
@@ -463,9 +477,12 @@ class ElphTrainer:
         @jax.jit
         def score(links_b, sf_b):
             nf = feats[links_b] if feats is not None else None
+            emb_b = (state.params["node_embedding"][links_b]
+                     if self.use_embedding else None)
             pv = {"params": state.params["predictor"],
                   "batch_stats": state.batch_stats["predictor"]}
-            return self.predictor.apply(pv, sf_b, nf, training=False).ravel()
+            return self.predictor.apply(pv, sf_b, nf, emb_b,
+                                        training=False).ravel()
 
         preds = []
         for s in range(0, n, bs):

@@ -1,0 +1,111 @@
+"""Training-infrastructure tests: losses, metrics, checkpointing, eval
+subsets, scaling harness."""
+
+import math
+import os
+import tempfile
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from subgraph_sketching_tpu.train.evaluation import hits_at_k, mrr, roc_auc
+from subgraph_sketching_tpu.train.losses import auc_loss, bce_loss
+
+
+def test_bce_masking():
+    logits = jnp.asarray([10.0, -10.0, 99.0])
+    labels = jnp.asarray([1.0, 0.0, 0.0])
+    mask = jnp.asarray([True, True, False])
+    # masked-out entry (bad prediction) must not affect the loss
+    assert float(bce_loss(logits, labels, mask)) < 0.01
+
+
+def test_auc_loss_pairs_pos_neg():
+    logits = jnp.asarray([2.0, 0.0, 2.0, 0.0])
+    labels = jnp.asarray([1.0, 0.0, 1.0, 0.0])
+    # pos - neg = 2 -> (1 - 2)^2 = 1 per pair, 2 pairs
+    assert float(auc_loss(logits, labels)) == pytest.approx(2.0)
+
+
+def test_hits_at_k_matches_definition():
+    pos = jnp.asarray([3.0, 1.0, 0.5])
+    neg = jnp.asarray([2.0, 0.9, 0.8, 0.7])
+    # K=2: 2nd best neg = 0.9 -> pos > 0.9: {3.0, 1.0} -> 2/3
+    assert hits_at_k(pos, neg, 2) == pytest.approx(2 / 3)
+    # fewer negs than K -> 1.0 (ogb convention)
+    assert hits_at_k(pos, neg, 10) == 1.0
+
+
+def test_mrr_matches_definition():
+    pos = jnp.asarray([1.0])
+    neg = jnp.asarray([[2.0, 0.5, 0.1]])
+    # one neg above -> optimistic=1 pessimistic=1 -> rank 2 -> 1/2
+    assert mrr(pos, neg) == pytest.approx(0.5)
+
+
+def test_roc_auc_matches_sklearn():
+    from sklearn.metrics import roc_auc_score
+    rng = np.random.default_rng(0)
+    pred = rng.random(200)
+    pred[50:60] = pred[40]  # ties
+    labels = (rng.random(200) < 0.4).astype(float)
+    assert roc_auc(pred, labels) == pytest.approx(
+        roc_auc_score(labels, pred), abs=1e-9)
+
+
+def test_eval_subset_semantics():
+    from subgraph_sketching_tpu.train.loops import eval_subset
+    full = eval_subset(100, None)
+    np.testing.assert_array_equal(full, np.arange(100))
+    sub = eval_subset(100, 30)
+    assert len(sub) == 30 and len(set(sub.tolist())) == 30
+    assert (np.diff(sub) > 0).all()  # sorted
+    # citation2 keeps the ordered prefix (aligned same-source negatives)
+    cit = eval_subset(100, 30, "ogbl-citation2")
+    np.testing.assert_array_equal(cit, np.arange(30))
+
+
+def test_checkpoint_roundtrip():
+    from subgraph_sketching_tpu.train.checkpoint import (
+        restore_checkpoint, save_checkpoint,
+    )
+    from subgraph_sketching_tpu.train.loops import TrainState
+    state = TrainState(
+        params={"w": jnp.arange(6.0).reshape(2, 3)},
+        batch_stats={"bn": {"mean": jnp.ones(3)}},
+        opt_state={"mu": jnp.zeros(3)})
+    with tempfile.TemporaryDirectory() as d:
+        save_checkpoint(d, state, step=7)
+        restored, step = restore_checkpoint(d)
+        assert step == 7
+        np.testing.assert_array_equal(np.asarray(restored["params"]["w"]),
+                                      np.arange(6.0).reshape(2, 3))
+        np.testing.assert_array_equal(
+            np.asarray(restored["batch_stats"]["bn"]["mean"]), np.ones(3))
+
+
+def test_scaling_harness_runs():
+    from subgraph_sketching_tpu.parallel.scaling import (
+        measure_scaling, scaling_efficiency,
+    )
+    res = measure_scaling(num_nodes=500, avg_deg=4, device_counts=[1, 2],
+                          iters=1)
+    eff = scaling_efficiency(res)
+    assert set(res) == {1, 2}
+    assert all(v > 0 for v in res.values())
+    assert eff[1] == pytest.approx(1.0)
+
+
+def test_metrics_logger_jsonl():
+    import json
+    from subgraph_sketching_tpu.metrics_logging import MetricsLogger
+    with tempfile.TemporaryDirectory() as d:
+        ml = MetricsLogger(run_dir=d, config={"a": 1})
+        ml.log({"loss": 1.0})
+        ml.log({"loss": 0.5}, step=10)
+        ml.finish()
+        lines = [json.loads(l) for l in
+                 open(os.path.join(d, "metrics.jsonl"))]
+        assert lines[0]["loss"] == 1.0 and lines[1]["step"] == 10
