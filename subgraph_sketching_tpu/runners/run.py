@@ -173,7 +173,15 @@ def make_parser() -> argparse.ArgumentParser:
     for f in dataclasses.fields(Config):
         name = f"--{f.name}"
         default = getattr(defaults, f.name)
-        if f.name in ("mesh_shape", "mesh_axes"):
+        if f.name == "mesh_shape":
+            parser.add_argument(name, type=lambda s: [int(x) for x in
+                                                      s.split(",")],
+                                default=None,
+                                help="device mesh, e.g. '8' or '4,2'")
+            continue
+        if f.name == "mesh_axes":
+            parser.add_argument(name, type=lambda s: s.split(","),
+                                default=["data"])
             continue
         if isinstance(default, bool):
             parser.add_argument(name, type=str2bool, default=default)

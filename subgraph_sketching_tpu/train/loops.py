@@ -152,8 +152,29 @@ class BuddyTrainer:
         self.optimizer = make_optimizer(cfg)
         self.loss_fn = get_loss(cfg.loss)
         self.use_feature = use_feature
+        # data parallelism over the link batch: tables replicated, the batch
+        # dimension sharded on the mesh's "data" axis; XLA inserts the grad
+        # psum (new scope vs the single-device reference, SURVEY.md §2d)
+        self.mesh = None
+        if cfg.mesh_shape:
+            from subgraph_sketching_tpu.parallel.mesh import make_mesh
+            self.mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes)
         self._data: Dict[str, Dict[str, jnp.ndarray]] = {}
         self.stage("train", dataset)
+
+    def _replicate(self, a: jnp.ndarray) -> jnp.ndarray:
+        if self.mesh is None:
+            return a
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return jax.device_put(a, NamedSharding(self.mesh, P()))
+
+    def _shard_batch_dim(self, a: jnp.ndarray, axis: int = 1) -> jnp.ndarray:
+        if self.mesh is None:
+            return a
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        spec = [None] * a.ndim
+        spec[axis] = "data"
+        return jax.device_put(a, NamedSharding(self.mesh, P(*spec)))
 
     # -- data staging -------------------------------------------------------
     def stage(self, split: str, ds: LinkDataset):
@@ -169,6 +190,7 @@ class BuddyTrainer:
             d["x"] = jnp.asarray(ds.x)
         if self.cfg.use_RA:
             d["RA"] = jnp.asarray(ds.RA)
+        d = {k: self._replicate(v) for k, v in d.items()}
         self._data[split] = d
 
     def _batch(self, data, idx):
@@ -277,7 +299,8 @@ class BuddyTrainer:
         perm = _epoch_permutation(int(data["links"].shape[0]),
                                   self.cfg.batch_size, rng,
                                   self.cfg.train_samples)
-        state, losses = self._epoch_jit(state, jnp.asarray(perm), epoch_rng)
+        perm_dev = self._shard_batch_dim(jnp.asarray(perm), axis=1)
+        state, losses = self._epoch_jit(state, perm_dev, epoch_rng)
         # reference reports sum(loss * batch_size) / num_links (train.py:77,89)
         total = float(jnp.sum(losses) * self.cfg.batch_size)
         return state, total / data["links"].shape[0]

@@ -91,3 +91,29 @@ def test_dp_batch_sharded_buddy_epoch(setup):
     state, loss = trainer.train_epoch(state, np.random.default_rng(0),
                                       jax.random.PRNGKey(0))
     assert np.isfinite(loss)
+
+
+def test_buddy_trainer_data_parallel_mesh(setup):
+    """BuddyTrainer with mesh_shape=[8]: DP epoch must match the
+    single-device epoch's loss trajectory (same data, same rng)."""
+    from subgraph_sketching_tpu.config import Config
+    from subgraph_sketching_tpu.graph.splits import random_link_split
+    from subgraph_sketching_tpu.graph.preprocess import build_link_dataset
+    from subgraph_sketching_tpu.train.loops import BuddyTrainer
+    g, params, sk_ref, links = setup
+    g2 = Graph(g.edge_index, g.num_nodes,
+               x=np.random.default_rng(1).random((64, 8), dtype=np.float32))
+    losses = {}
+    for mesh_shape in (None, [8]):
+        cfg = Config(dataset_name="synth-ba", model="BUDDY",
+                     hidden_channels=8, batch_size=64, eval_batch_size=64,
+                     K=10, mesh_shape=mesh_shape)
+        splits = random_link_split(g2, 0.1, 0.2, seed=0)
+        ds = build_link_dataset(splits["train"], cfg, "train")
+        trainer = BuddyTrainer(cfg, ds, 8)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        state, loss = trainer.train_epoch(state, np.random.default_rng(0),
+                                          jax.random.PRNGKey(0))
+        losses[str(mesh_shape)] = loss
+    assert np.isfinite(losses["[8]"])
+    assert abs(losses["None"] - losses["[8]"]) < 1e-3
