@@ -30,7 +30,7 @@ from subgraph_sketching_tpu.graph.splits import (
     SplitData, negative_sampling, random_link_split, same_source_negatives,
 )
 from subgraph_sketching_tpu.graph.synthetic import (
-    barabasi_albert_graph, erdos_renyi_graph,
+    barabasi_albert_graph, erdos_renyi_graph, watts_strogatz_graph,
 )
 
 PLANETOID_NAMES = {"Cora": "cora", "Citeseer": "citeseer", "Pubmed": "pubmed"}
@@ -57,6 +57,10 @@ def synthetic_graph(name: str, seed: int = 0) -> Graph:
     elif name == "synth-er":
         ei = erdos_renyi_graph(1000, 0.01, seed=seed)
         n = 1000
+    elif name == "synth-ws":
+        # small-world: high clustering -> informative structure features
+        ei = watts_strogatz_graph(2000, 10, 0.1, seed=seed)
+        n = 2000
     else:
         raise ValueError(f"unknown synthetic dataset {name}")
     x = (rng.random((n, 128)) < 0.05).astype(np.float32)  # sparse bag-of-words-like

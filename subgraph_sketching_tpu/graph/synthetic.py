@@ -34,6 +34,28 @@ def barabasi_albert_graph(n: int, m: int, seed: int = 0) -> np.ndarray:
     return both[:, order]
 
 
+def watts_strogatz_graph(n: int, k: int, p: float, seed: int = 0) -> np.ndarray:
+    """Watts-Strogatz small-world graph (ring of k-nearest neighbours with
+    rewiring probability p).  High clustering -> strong common-neighbour
+    signal, which makes it the right synthetic testbed for link-prediction
+    *quality* (BA graphs have near-zero clustering)."""
+    rng = np.random.default_rng(seed)
+    edges = set()
+    for v in range(n):
+        for j in range(1, k // 2 + 1):
+            t = (v + j) % n
+            if rng.random() < p:  # rewire
+                t = int(rng.integers(0, n))
+                while t == v or (min(v, t), max(v, t)) in edges:
+                    t = int(rng.integers(0, n))
+            if t != v:
+                edges.add((min(v, t), max(v, t)))
+    e = np.array(sorted(edges), dtype=np.int32).T
+    both = np.concatenate([e, e[::-1]], axis=1)
+    order = np.lexsort((both[1], both[0]))
+    return both[:, order]
+
+
 def erdos_renyi_graph(n: int, p: float, seed: int = 0) -> np.ndarray:
     """Undirected G(n, p) graph as a symmetric edge_index [2, 2*E] int32."""
     rng = np.random.default_rng(seed)

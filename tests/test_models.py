@@ -138,3 +138,26 @@ def test_buddy_learns_on_easy_graph():
         val_auc, _ = run_test(trainer, state, cfg, "auc")["AUC"]
         best = max(best, val_auc)
     assert best > 0.7, f"best val AUC {best} too low - model not learning"
+
+
+def test_buddy_quality_on_small_world():
+    """Learning-quality gate: on a high-clustering graph the full pipeline
+    must reach strong link-prediction AUC quickly (sketch signal + MLP)."""
+    from subgraph_sketching_tpu.graph.datasets import get_data
+    from subgraph_sketching_tpu.train.loops import BuddyTrainer
+    from subgraph_sketching_tpu.train.inference import test as run_test
+    cfg = Config(dataset_name="synth-ws", hidden_channels=64, batch_size=512,
+                 eval_batch_size=4096, model="BUDDY", K=50, lr=0.003)
+    splits, _, _ = get_data(cfg)
+    ds = {k: build_link_dataset(sd, cfg, k) for k, sd in splits.items()}
+    tr = BuddyTrainer(cfg, ds["train"], ds["train"].x.shape[-1])
+    for s in ("valid", "test"):
+        tr.stage(s, ds[s])
+    state = tr.init_state(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    best = 0.0
+    for epoch in range(3):
+        state, _ = tr.train_epoch(state, rng, jax.random.PRNGKey(epoch))
+        val_auc, _ = run_test(tr, state, cfg, "auc")["AUC"]
+        best = max(best, val_auc)
+    assert best > 0.9, f"val AUC {best} below quality gate"
