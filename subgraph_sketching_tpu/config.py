@@ -109,6 +109,7 @@ class Config:
     mesh_shape: Optional[List[int]] = None  # e.g. [8] for 8-way data parallel
     mesh_axes: List[str] = field(default_factory=lambda: ["data"])
     checkpoint_dir: Optional[str] = None
+    resume: bool = False  # restore the latest checkpoint from checkpoint_dir
     cache_dir: Optional[str] = None  # preprocessing cache root
     data_root: Optional[str] = None  # dataset download/storage root
 

@@ -108,16 +108,19 @@ def _cache_name(cfg: Config, split: str, kind: str) -> Optional[str]:
 
 
 def build_link_dataset(split_data: SplitData, cfg: Config, split: str,
-                       model: Optional[str] = None) -> LinkDataset:
+                       model: Optional[str] = None,
+                       directed: bool = False) -> LinkDataset:
     """Hydrate one split (reference HashDataset.__init__,
     src/datasets/elph.py:27-85)."""
     model = model or cfg.model
     g = split_data.graph
     if cfg.dataset_name == "ogbl-collab":
         g = g.coalesce()  # compress multi-edges (src/datasets/elph.py:54-57)
-    # directed graphs (citation2) become undirected for propagation
-    # (src/datasets/elph.py:63-66); our splits are already symmetric for
-    # undirected data, so only do this when asymmetric
+    if directed:
+        # directed graphs (citation2) become undirected for propagation and
+        # subgraph features (src/datasets/elph.py:63-66); undirected splits
+        # are already symmetric
+        g = g.to_undirected()
     links = split_data.links.astype(np.int32)
     labels = split_data.labels
     degrees = g.degrees()
@@ -191,10 +194,10 @@ def build_link_dataset(split_data: SplitData, cfg: Config, split: str,
                        sketches=sketches)
 
 
-def build_all_splits(splits, cfg: Config):
+def build_all_splits(splits, cfg: Config, directed: bool = False):
     """train/valid/test LinkDatasets (reference
     get_hashed_train_val_test_datasets, src/datasets/elph.py:245-265)."""
-    return {name: build_link_dataset(sd, cfg, name)
+    return {name: build_link_dataset(sd, cfg, name, directed=directed)
             for name, sd in splits.items()}
 
 

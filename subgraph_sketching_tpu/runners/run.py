@@ -98,13 +98,23 @@ def run(cfg: Config):
         if cfg.model in SEAL_MODELS:
             trainer = build_seal_trainer(cfg, splits)
         else:
-            datasets = {name: build_link_dataset(sd, cfg, name)
+            datasets = {name: build_link_dataset(sd, cfg, name,
+                                                 directed=directed)
                         for name, sd in splits.items()}
             num_features = (None if datasets["train"].x is None
                             else datasets["train"].x.shape[-1])
             trainer = build_trainer(cfg, datasets, num_features)
         print(f"preprocessing ran in {time.time() - t0:.2f}s")
         state = trainer.init_state(jax.random.PRNGKey(rep))
+        if cfg.resume and cfg.checkpoint_dir and rep == 0:
+            # real mid-run resume of params + batch stats + optimizer state
+            # (the reference can only save final weights, run.py:108-110)
+            from subgraph_sketching_tpu.train.checkpoint import (
+                latest_step, restore_into,
+            )
+            if latest_step(cfg.checkpoint_dir) is not None:
+                state, step = restore_into(cfg.checkpoint_dir, state)
+                print(f"resumed from checkpoint step {step}")
 
         val_res = test_res = train_res = 0.0
         best_epoch = 0

@@ -26,13 +26,35 @@ def save_checkpoint(directory: str, state, step: int = 0) -> str:
     return path
 
 
+def latest_step(directory: str) -> Optional[int]:
+    base = os.path.abspath(directory)
+    if not os.path.isdir(base):
+        return None
+    steps = sorted(int(d.split("_")[1]) for d in os.listdir(base)
+                   if d.startswith("step_"))
+    return steps[-1] if steps else None
+
+
 def restore_checkpoint(directory: str, step: Optional[int] = None):
     """Returns the raw state dict (caller rebuilds its TrainState)."""
     base = os.path.abspath(directory)
     if step is None:
-        steps = sorted(int(d.split("_")[1]) for d in os.listdir(base)
-                       if d.startswith("step_"))
-        if not steps:
+        step = latest_step(base)
+        if step is None:
             raise FileNotFoundError(f"no checkpoints under {base}")
-        step = steps[-1]
     return _ckptr().restore(os.path.join(base, f"step_{step}")), step
+
+
+def restore_into(directory: str, template_state, step: Optional[int] = None):
+    """Restore into the exact pytree structure of ``template_state`` (so
+    optax NamedTuple opt states survive the round-trip)."""
+    base = os.path.abspath(directory)
+    if step is None:
+        step = latest_step(base)
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {base}")
+    restored = _ckptr().restore(os.path.join(base, f"step_{step}"),
+                                item=jax.tree.map(lambda x: x,
+                                                  template_state._asdict()))
+    cls = type(template_state)
+    return cls(**restored), step
