@@ -41,6 +41,29 @@ class TrainState(NamedTuple):
     opt_state: Any
 
 
+def _mesh_from_cfg(cfg: Config):
+    if not cfg.mesh_shape:
+        return None
+    from subgraph_sketching_tpu.parallel.mesh import make_mesh
+    return make_mesh(cfg.mesh_shape, cfg.mesh_axes)
+
+
+def _replicate_on(mesh, a):
+    if mesh is None:
+        return a
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    return jax.device_put(a, NamedSharding(mesh, P()))
+
+
+def _shard_axis_on(mesh, a, axis):
+    if mesh is None:
+        return a
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    spec = [None] * a.ndim
+    spec[axis] = "data"
+    return jax.device_put(a, NamedSharding(mesh, P(*spec)))
+
+
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     if cfg.weight_decay > 0:
         return optax.chain(optax.add_decayed_weights(cfg.weight_decay),
@@ -155,26 +178,15 @@ class BuddyTrainer:
         # data parallelism over the link batch: tables replicated, the batch
         # dimension sharded on the mesh's "data" axis; XLA inserts the grad
         # psum (new scope vs the single-device reference, SURVEY.md §2d)
-        self.mesh = None
-        if cfg.mesh_shape:
-            from subgraph_sketching_tpu.parallel.mesh import make_mesh
-            self.mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes)
+        self.mesh = _mesh_from_cfg(cfg)
         self._data: Dict[str, Dict[str, jnp.ndarray]] = {}
         self.stage("train", dataset)
 
     def _replicate(self, a: jnp.ndarray) -> jnp.ndarray:
-        if self.mesh is None:
-            return a
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        return jax.device_put(a, NamedSharding(self.mesh, P()))
+        return _replicate_on(self.mesh, a)
 
     def _shard_batch_dim(self, a: jnp.ndarray, axis: int = 1) -> jnp.ndarray:
-        if self.mesh is None:
-            return a
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        spec = [None] * a.ndim
-        spec[axis] = "data"
-        return jax.device_put(a, NamedSharding(self.mesh, P(*spec)))
+        return _shard_axis_on(self.mesh, a, axis)
 
     # -- data staging -------------------------------------------------------
     def stage(self, split: str, ds: LinkDataset):
@@ -357,6 +369,9 @@ class ElphTrainer:
             self.use_embedding, cfg.label_dropout, cfg.feature_dropout)
         self.optimizer = make_optimizer(cfg)
         self.loss_fn = get_loss(cfg.loss)
+        # DP over the link batch; the full-graph GCN side runs replicated
+        # (graph-sharded ELPH lives in parallel/train.py)
+        self.mesh = _mesh_from_cfg(cfg)
         self._data: Dict[str, Dict[str, jnp.ndarray]] = {}
         self.stage("train", dataset)
 
@@ -383,6 +398,8 @@ class ElphTrainer:
         }
         if self.use_feature:
             d["x"] = jnp.asarray(ds.x)
+        d = {k: (_replicate_on(self.mesh, v) if hasattr(v, "ndim") else v)
+             for k, v in d.items()}
         self._data[split] = d
 
     def _node_feats(self, params, batch_stats, data, training, dropout_rng=None):
@@ -481,7 +498,8 @@ class ElphTrainer:
         perm = _epoch_permutation(int(data["links"].shape[0]),
                                   self.cfg.batch_size, rng,
                                   self.cfg.train_samples)
-        state, losses = self._epoch_jit(state, jnp.asarray(perm), epoch_rng)
+        perm_dev = _shard_axis_on(self.mesh, jnp.asarray(perm), 1)
+        state, losses = self._epoch_jit(state, perm_dev, epoch_rng)
         total = float(jnp.sum(losses) * self.cfg.batch_size)
         return state, total / data["links"].shape[0]
 
