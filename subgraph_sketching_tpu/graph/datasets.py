@@ -18,7 +18,7 @@ from __future__ import annotations
 import os
 import pickle
 import sys
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 import scipy.sparse as ssp

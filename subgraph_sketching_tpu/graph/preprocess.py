@@ -21,7 +21,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from subgraph_sketching_tpu.config import Config
-from subgraph_sketching_tpu.graph.container import Graph
 from subgraph_sketching_tpu.graph.splits import SplitData
 from subgraph_sketching_tpu.heuristics import resource_allocation
 from subgraph_sketching_tpu.ops.graph_ops import gcn_norm, spmm

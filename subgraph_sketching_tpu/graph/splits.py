@@ -14,7 +14,7 @@ semantics follow the reference docstring (src/data.py:69-78):
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

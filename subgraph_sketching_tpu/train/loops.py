@@ -354,8 +354,6 @@ class ElphTrainer:
 
     def __init__(self, cfg: Config, dataset: LinkDataset,
                  sketch_params, num_features: Optional[int]):
-        from subgraph_sketching_tpu.graph.container import Graph
-
         self.cfg = cfg
         self.sketch_params = sketch_params
         use_feature = cfg.use_feature and dataset.x is not None
