@@ -25,7 +25,9 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from subgraph_sketching_tpu.ops.segment import segment_max, segment_min
-from subgraph_sketching_tpu.sketch.hll import hll_alpha, _THRESHOLDS, _load_tables
+from subgraph_sketching_tpu.sketch.hll import (
+    _THRESHOLDS, _bias_corrected, _load_tables, hll_alpha, pow2_neg,
+)
 from subgraph_sketching_tpu.sketch.params import SketchParams, Sketches
 from subgraph_sketching_tpu.sketch.hll import hll_count
 
@@ -111,14 +113,11 @@ def lane_sharded_subgraph_features(
         num_zero = jax.lax.psum(
             jnp.sum((unions == 0).astype(jnp.float32), axis=-1), axis)
         pow_sum = jax.lax.psum(
-            jnp.sum(jnp.exp2(-unions.astype(jnp.float32)), axis=-1), axis)
+            jnp.sum(pow2_neg(unions), axis=-1), axis)
         lc = m * jnp.log(m / jnp.maximum(num_zero, 1.0))
         use_lc = (num_zero > 0) & (lc <= threshold)
         e = hll_alpha(m) * m * m / pow_sum
-        d2 = (e[..., None] - raw_table) ** 2
-        _, nn_idx = jax.lax.top_k(-d2, 6)
-        bias = jnp.mean(bias_table[nn_idx], axis=-1)
-        e = jnp.where(e <= 5 * m, e - bias, e)
+        e = _bias_corrected(e, m, raw_table, bias_table)
         union_size = jnp.where(use_lc, lc, e)
         inter = jnp.transpose(jac * union_size, (2, 0, 1))         # [B, K, K]
 
@@ -127,13 +126,10 @@ def lane_sharded_subgraph_features(
             nz = jax.lax.psum(
                 jnp.sum((regs == 0).astype(jnp.float32), axis=-1), axis)
             ps = jax.lax.psum(
-                jnp.sum(jnp.exp2(-regs.astype(jnp.float32)), axis=-1), axis)
+                jnp.sum(pow2_neg(regs), axis=-1), axis)
             lc_ = m * jnp.log(m / jnp.maximum(nz, 1.0))
             e_ = hll_alpha(m) * m * m / ps
-            d2_ = (e_[..., None] - raw_table) ** 2
-            _, ni = jax.lax.top_k(-d2_, 6)
-            b_ = jnp.mean(bias_table[ni], axis=-1)
-            e_ = jnp.where(e_ <= 5 * m, e_ - b_, e_)
+            e_ = _bias_corrected(e_, m, raw_table, bias_table)
             return jnp.where((nz > 0) & (lc_ <= threshold), lc_, e_)
 
         cu = jnp.stack([count_rows(hll[k + 1, u, :]) for k in range(K)], axis=1)
