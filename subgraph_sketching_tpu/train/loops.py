@@ -513,15 +513,22 @@ class ElphTrainer:
         n = len(sel)
         bs = min(self.cfg.eval_batch_size, max(1, n))
 
-        @jax.jit
+        if not hasattr(self, "_score_jit"):
+            # state/feats are traced args so eval compiles once, not per
+            # split per epoch
+            def _score(params, batch_stats, feats_, links_b, sf_b):
+                nf = feats_[links_b] if feats_ is not None else None
+                emb_b = (params["node_embedding"][links_b]
+                         if self.use_embedding else None)
+                pv = {"params": params["predictor"],
+                      "batch_stats": batch_stats["predictor"]}
+                return self.predictor.apply(pv, sf_b, nf, emb_b,
+                                            training=False).ravel()
+            self._score_jit = jax.jit(_score)
+
         def score(links_b, sf_b):
-            nf = feats[links_b] if feats is not None else None
-            emb_b = (state.params["node_embedding"][links_b]
-                     if self.use_embedding else None)
-            pv = {"params": state.params["predictor"],
-                  "batch_stats": state.batch_stats["predictor"]}
-            return self.predictor.apply(pv, sf_b, nf, emb_b,
-                                        training=False).ravel()
+            return self._score_jit(state.params, state.batch_stats, feats,
+                                   links_b, sf_b)
 
         preds = []
         for s in range(0, n, bs):

@@ -148,11 +148,15 @@ class SealTrainer:
         n = len(sel)
         bs = self.cfg.batch_size
 
-        @jax.jit
+        if not hasattr(self, "_fwd_jit"):
+            def _fwd(params, batch_stats, batch):
+                variables = {"params": params, "batch_stats": batch_stats}
+                return self.model.apply(variables, batch,
+                                        training=False).ravel()
+            self._fwd_jit = jax.jit(_fwd)
+
         def fwd(batch):
-            variables = {"params": state.params,
-                         "batch_stats": state.batch_stats}
-            return self.model.apply(variables, batch, training=False).ravel()
+            return self._fwd_jit(state.params, state.batch_stats, batch)
 
         preds = []
         for s in range(0, n, bs):
