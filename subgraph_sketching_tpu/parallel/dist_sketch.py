@@ -26,10 +26,9 @@ from jax import shard_map
 
 from subgraph_sketching_tpu.ops.segment import segment_max, segment_min
 from subgraph_sketching_tpu.sketch.hll import (
-    _THRESHOLDS, _bias_corrected, _load_tables, hll_alpha, pow2_neg,
+    hll_count, hll_count_from_stats, pow2_neg,
 )
 from subgraph_sketching_tpu.sketch.params import SketchParams, Sketches
-from subgraph_sketching_tpu.sketch.hll import hll_count
 
 
 def edge_sharded_build_hash_tables(
@@ -89,10 +88,7 @@ def lane_sharded_subgraph_features(
     K = params.max_hops
     m = params.m
     assert params.num_perm % n_dev == 0 and m % n_dev == 0
-    threshold = float(_THRESHOLDS[params.hll_p])
-    raw_table, bias_table = _load_tables(params.hll_p)
-    raw_table = jnp.asarray(raw_table)
-    bias_table = jnp.asarray(bias_table)
+    p = params.hll_p
 
     @functools.partial(
         shard_map, mesh=mesh,
@@ -108,17 +104,15 @@ def lane_sharded_subgraph_features(
                         axis=-1)
         match = jax.lax.psum(match, axis)
         jac = match / params.num_perm                              # [K, K, B]
-        # HLL union count: partial zero-counts and 2^-reg sums -> psum
+        # HLL union count: partial zero-counts and 2^-reg sums -> psum, then
+        # the SAME estimator core as the single-device path (hll.py) — any
+        # residual difference is f32 reduction order only.
         unions = jnp.maximum(hll_u[:, None], hll_v[None, :])       # [K,K,B,m/D]
         num_zero = jax.lax.psum(
             jnp.sum((unions == 0).astype(jnp.float32), axis=-1), axis)
         pow_sum = jax.lax.psum(
             jnp.sum(pow2_neg(unions), axis=-1), axis)
-        lc = m * jnp.log(m / jnp.maximum(num_zero, 1.0))
-        use_lc = (num_zero > 0) & (lc <= threshold)
-        e = hll_alpha(m) * m * m / pow_sum
-        e = _bias_corrected(e, m, raw_table, bias_table)
-        union_size = jnp.where(use_lc, lc, e)
+        union_size = hll_count_from_stats(num_zero, pow_sum, p)
         inter = jnp.transpose(jac * union_size, (2, 0, 1))         # [B, K, K]
 
         # per-hop HLL cardinalities from the sharded registers
@@ -127,10 +121,7 @@ def lane_sharded_subgraph_features(
                 jnp.sum((regs == 0).astype(jnp.float32), axis=-1), axis)
             ps = jax.lax.psum(
                 jnp.sum(pow2_neg(regs), axis=-1), axis)
-            lc_ = m * jnp.log(m / jnp.maximum(nz, 1.0))
-            e_ = hll_alpha(m) * m * m / ps
-            e_ = _bias_corrected(e_, m, raw_table, bias_table)
-            return jnp.where((nz > 0) & (lc_ <= threshold), lc_, e_)
+            return hll_count_from_stats(nz, ps, p)
 
         cu = jnp.stack([count_rows(hll[k + 1, u, :]) for k in range(K)], axis=1)
         cv = jnp.stack([count_rows(hll[k + 1, v, :]) for k in range(K)], axis=1)

@@ -48,7 +48,9 @@ def test_lane_sharded_matches_single_device(setup):
     sf_ref = np.asarray(subgraph_features(jnp.asarray(links), sk_ref, params))
     sf = np.asarray(lane_sharded_subgraph_features(
         jnp.asarray(links), sk_ref, params, mesh))
-    np.testing.assert_allclose(sf, sf_ref, rtol=1e-4, atol=1e-3)
+    # same estimator core as single-device (hll_count_from_stats) — only f32
+    # reduction order can differ
+    np.testing.assert_allclose(sf, sf_ref, rtol=1e-6, atol=1e-4)
 
 
 def test_distributed_train_step(setup):
