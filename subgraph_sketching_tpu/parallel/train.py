@@ -1,11 +1,19 @@
-"""Multi-chip training steps: dp over the link batch, graph-sharded sketch
-construction, lane-sharded feature extraction — one jitted SPMD program.
+"""Multi-chip training of the real models: dp over the link batch,
+graph-sharded sketch construction, lane-sharded feature extraction, and the
+full ELPH module (GCN feature side + LinkPredictor head) — one jitted SPMD
+program.
 
 The mesh axes map onto the classic parallelism menu as it applies to this
 model family (there is no sequence/pipeline dimension in ELPH/BUDDY):
   data  -> DP over links (grad psum inserted by XLA)
   graph -> edge partitioning for propagation (the SP/EP analogue)
   lane  -> sketch-width sharding (the TP analogue)
+
+The step is written as a plain jax function and distributed with
+``jax.jit(in_shardings=...)``: XLA GSPMD partitions the GCN SpMM over the
+sharded edge list and inserts the collectives, so the distributed program is
+numerically the SAME program as the single-device one — the multi-chip tests
+assert loss/param equality, not just finiteness.
 """
 
 from __future__ import annotations
@@ -17,6 +25,7 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from subgraph_sketching_tpu.models.elph import ELPH
 from subgraph_sketching_tpu.models.predictor import LinkPredictor
 from subgraph_sketching_tpu.parallel.dist_sketch import (
     edge_sharded_build_hash_tables, lane_sharded_subgraph_features,
@@ -33,22 +42,31 @@ class DistTrainState(NamedTuple):
 
 def make_distributed_train_step(mesh: Mesh, params: SketchParams,
                                 hidden_channels: int, num_nodes: int,
-                                lr: float = 1e-3):
-    """Full ELPH-style training step over a mesh.
+                                lr: float = 1e-3,
+                                label_dropout: float = 0.5,
+                                feature_dropout: float = 0.5):
+    """Full ELPH training step over a mesh.
 
-    One jitted program: edge-sharded sketch propagation (graph axis) ->
-    lane-sharded subgraph features (lane axis) -> link scoring + BCE + Adam
-    with the batch sharded on the data axis.  Returns
-    (init_fn, step_fn, optimizer).
+    One jitted program per step: edge-sharded sketch propagation (graph
+    axis) -> lane-sharded subgraph features (lane axis) -> full-graph GCN
+    feature pass -> LinkPredictor scoring + BCE + Adam, with the link batch
+    sharded on the data axis.  Dropout takes a fresh per-step key (the rng
+    argument), matching the single-device trainer.
+
+    Returns (init_fn, step_fn, optimizer).  step_fn(state, x, edge_index,
+    mask, init_mh, init_hll, links, labels, rng).
     """
+    gnn = ELPH(params, hidden_channels, use_feature=True, feature_prop="gcn",
+               feature_dropout=feature_dropout)
     predictor = LinkPredictor(params.sf_dim, hidden_channels,
-                              use_feature=True, label_dropout=0.0,
-                              feature_dropout=0.0)
+                              use_feature=True, label_dropout=label_dropout,
+                              feature_dropout=feature_dropout)
     optimizer = optax.adam(lr)
     has_lane = "lane" in mesh.axis_names
     has_graph = "graph" in mesh.axis_names
 
     def forward_features(edge_index, mask, init_mh, init_hll, links):
+        """Gradient-free sketch side: sharded build + feature extraction."""
         if has_graph:
             sk = edge_sharded_build_hash_tables(
                 edge_index, num_nodes, params, mesh, init_mh, init_hll,
@@ -65,27 +83,38 @@ def make_distributed_train_step(mesh: Mesh, params: SketchParams,
             sf = subgraph_features(links, sk, params)
         return sf
 
-    def init_fn(rng, x, links):
-        nf = x[links]
+    def init_fn(rng, x, edge_index, mask, links):
+        gnn_vars = gnn.init({"params": rng, "dropout": rng}, x, edge_index,
+                            num_nodes, mask=mask, training=False)
+        feats, _ = gnn.apply(gnn_vars, x, edge_index, num_nodes, mask=mask,
+                             training=False)
         sf0 = jnp.zeros((links.shape[0], params.sf_dim))
-        variables = predictor.init({"params": rng, "dropout": rng}, sf0, nf,
-                                   training=False)
-        p = variables["params"]
-        return DistTrainState(p, variables.get("batch_stats", {}),
-                              optimizer.init(p))
+        pred_vars = predictor.init({"params": rng, "dropout": rng}, sf0,
+                                   feats[links], training=False)
+        p = {"gnn": gnn_vars["params"], "predictor": pred_vars["params"]}
+        bs = {"gnn": gnn_vars.get("batch_stats", {}),
+              "predictor": pred_vars.get("batch_stats", {})}
+        return DistTrainState(p, bs, optimizer.init(p))
 
     def step(state: DistTrainState, x, edge_index, mask, init_mh, init_hll,
-             links, labels) -> Tuple[DistTrainState, jnp.ndarray]:
-        sf = forward_features(edge_index, mask, init_mh, init_hll, links)
-        sf = jax.lax.stop_gradient(sf)
+             links, labels, rng) -> Tuple[DistTrainState, jnp.ndarray]:
+        sf = jax.lax.stop_gradient(
+            forward_features(edge_index, mask, init_mh, init_hll, links))
+        k1, k2 = jax.random.split(rng)
 
         def loss_fn(p):
-            nf = x[links]
-            variables = {"params": p, "batch_stats": state.batch_stats}
-            logits, updates = predictor.apply(
-                variables, sf, nf, training=True, mutable=["batch_stats"],
-                rngs={"dropout": jax.random.PRNGKey(0)})
-            return bce_loss(logits, labels), updates["batch_stats"]
+            gv = {"params": p["gnn"], "batch_stats": state.batch_stats["gnn"]}
+            (feats, _), gupd = gnn.apply(
+                gv, x, edge_index, num_nodes, mask=mask, training=True,
+                mutable=["batch_stats"], rngs={"dropout": k1})
+            pv = {"params": p["predictor"],
+                  "batch_stats": state.batch_stats["predictor"]}
+            logits, pupd = predictor.apply(
+                pv, sf, feats[links], training=True, mutable=["batch_stats"],
+                rngs={"dropout": k2})
+            new_bs = {"gnn": gupd.get("batch_stats", {}),
+                      "predictor": pupd.get("batch_stats", {})}
+            return bce_loss(logits, labels), new_bs
 
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)
@@ -94,7 +123,8 @@ def make_distributed_train_step(mesh: Mesh, params: SketchParams,
         return DistTrainState(new_params, new_bs, new_opt), loss
 
     rep = NamedSharding(mesh, P())
-    data_shard = NamedSharding(mesh, P("data"))
+    data_shard = (NamedSharding(mesh, P("data"))
+                  if "data" in mesh.axis_names else rep)
     edge_shard = (NamedSharding(mesh, P(None, "graph")) if has_graph else rep)
     edge_mask_shard = (NamedSharding(mesh, P("graph")) if has_graph else rep)
     lane_shard = (NamedSharding(mesh, P(None, "lane")) if has_lane else rep)
@@ -102,8 +132,68 @@ def make_distributed_train_step(mesh: Mesh, params: SketchParams,
     step_jit = jax.jit(
         step,
         in_shardings=(rep, rep, edge_shard, edge_mask_shard, lane_shard,
-                      lane_shard, data_shard, data_shard),
+                      lane_shard, data_shard, data_shard, rep),
         out_shardings=(rep, rep),
         donate_argnums=(0,),
     )
     return init_fn, step_jit, optimizer
+
+
+def single_device_reference_step(params: SketchParams, hidden_channels: int,
+                                 num_nodes: int, lr: float = 1e-3,
+                                 label_dropout: float = 0.5,
+                                 feature_dropout: float = 0.5):
+    """The SAME step math without a mesh — the equality oracle for the
+    distributed step (used by tests and dryrun_multichip)."""
+    gnn = ELPH(params, hidden_channels, use_feature=True, feature_prop="gcn",
+               feature_dropout=feature_dropout)
+    predictor = LinkPredictor(params.sf_dim, hidden_channels,
+                              use_feature=True, label_dropout=label_dropout,
+                              feature_dropout=feature_dropout)
+    optimizer = optax.adam(lr)
+    from subgraph_sketching_tpu.sketch.elph import (
+        build_hash_tables, subgraph_features,
+    )
+
+    def init_fn(rng, x, edge_index, mask, links):
+        gnn_vars = gnn.init({"params": rng, "dropout": rng}, x, edge_index,
+                            num_nodes, mask=mask, training=False)
+        feats, _ = gnn.apply(gnn_vars, x, edge_index, num_nodes, mask=mask,
+                             training=False)
+        sf0 = jnp.zeros((links.shape[0], params.sf_dim))
+        pred_vars = predictor.init({"params": rng, "dropout": rng}, sf0,
+                                   feats[links], training=False)
+        p = {"gnn": gnn_vars["params"], "predictor": pred_vars["params"]}
+        bs = {"gnn": gnn_vars.get("batch_stats", {}),
+              "predictor": pred_vars.get("batch_stats", {})}
+        return DistTrainState(p, bs, optimizer.init(p))
+
+    @jax.jit
+    def step(state, x, edge_index, mask, init_mh, init_hll, links, labels,
+             rng):
+        sk = build_hash_tables(edge_index, num_nodes, params, mask=mask,
+                               init=(init_mh, init_hll))
+        sf = jax.lax.stop_gradient(subgraph_features(links, sk, params))
+        k1, k2 = jax.random.split(rng)
+
+        def loss_fn(p):
+            gv = {"params": p["gnn"], "batch_stats": state.batch_stats["gnn"]}
+            (feats, _), gupd = gnn.apply(
+                gv, x, edge_index, num_nodes, mask=mask, training=True,
+                mutable=["batch_stats"], rngs={"dropout": k1})
+            pv = {"params": p["predictor"],
+                  "batch_stats": state.batch_stats["predictor"]}
+            logits, pupd = predictor.apply(
+                pv, sf, feats[links], training=True, mutable=["batch_stats"],
+                rngs={"dropout": k2})
+            new_bs = {"gnn": gupd.get("batch_stats", {}),
+                      "predictor": pupd.get("batch_stats", {})}
+            return bce_loss(logits, labels), new_bs
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, new_opt = optimizer.update(grads, state.opt_state)
+        new_params = optax.apply_updates(state.params, updates)
+        return DistTrainState(new_params, new_bs, new_opt), loss
+
+    return init_fn, step, optimizer

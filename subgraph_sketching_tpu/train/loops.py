@@ -367,42 +367,82 @@ class ElphTrainer:
             self.use_embedding, cfg.label_dropout, cfg.feature_dropout)
         self.optimizer = make_optimizer(cfg)
         self.loss_fn = get_loss(cfg.loss)
-        # DP over the link batch; the full-graph GCN side runs replicated
-        # (graph-sharded ELPH lives in parallel/train.py)
+        # DP over the link batch; with "graph"/"lane" mesh axes the sketch
+        # build is edge-sharded, features lane-sharded, and the staged edge
+        # arrays are sharded so GSPMD partitions the GCN SpMM in the epoch
         self.mesh = _mesh_from_cfg(cfg)
+        self._has_graph = (self.mesh is not None
+                           and "graph" in self.mesh.axis_names)
+        self._has_lane = (self.mesh is not None
+                          and "lane" in self.mesh.axis_names)
         self._data: Dict[str, Dict[str, jnp.ndarray]] = {}
         self.stage("train", dataset)
 
     def stage(self, split: str, ds: LinkDataset):
         from subgraph_sketching_tpu.sketch.elph import (
-            build_hash_tables, subgraph_features_batched,
+            build_hash_tables, initialise_sketches, subgraph_features_batched,
         )
-        g_ei = jnp.asarray(ds.edge_index)
+        ei, w, mask = ds.edge_index, ds.edge_weight, None
+        if self._has_graph:
+            D = self.mesh.shape["graph"]
+            E = ei.shape[1]
+            pad = (-E) % D
+            if pad:
+                ei = np.concatenate([ei, np.zeros((2, pad), ei.dtype)], axis=1)
+                w = np.concatenate([w, np.zeros((pad,), w.dtype)])
+            mask = np.concatenate([np.ones(E, bool), np.zeros(pad, bool)])
         sketches = ds.sketches
         if sketches is None:
-            from subgraph_sketching_tpu.ops.segment_scan import make_plan
-            plan = (make_plan(ds.edge_index, ds.num_nodes)
-                    if self.cfg.use_pallas else None)
-            sketches = build_hash_tables(g_ei, ds.num_nodes,
-                                         self.sketch_params, plan=plan)
-        sf = subgraph_features_batched(ds.links, sketches, self.sketch_params)
+            if self._has_graph:
+                from subgraph_sketching_tpu.parallel.dist_sketch import (
+                    edge_sharded_build_hash_tables,
+                )
+                mh0, hll0 = initialise_sketches(ds.num_nodes,
+                                                self.sketch_params)
+                sketches = edge_sharded_build_hash_tables(
+                    jnp.asarray(ei), ds.num_nodes, self.sketch_params,
+                    self.mesh, jnp.asarray(mh0), jnp.asarray(hll0),
+                    mask=jnp.asarray(mask))
+            else:
+                from subgraph_sketching_tpu.ops.segment_scan import make_plan
+                plan = (make_plan(ds.edge_index, ds.num_nodes)
+                        if self.cfg.use_pallas else None)
+                sketches = build_hash_tables(jnp.asarray(ei), ds.num_nodes,
+                                             self.sketch_params, plan=plan)
+        if self._has_lane:
+            from subgraph_sketching_tpu.parallel.dist_sketch import (
+                lane_sharded_subgraph_features,
+            )
+            sf = lane_sharded_subgraph_features(
+                jnp.asarray(ds.links), sketches, self.sketch_params, self.mesh)
+        else:
+            sf = subgraph_features_batched(ds.links, sketches,
+                                           self.sketch_params)
         d = {
-            "links": jnp.asarray(ds.links),
-            "labels": jnp.asarray(ds.labels),
-            "sf": jnp.asarray(sf),
-            "edge_index": g_ei,
-            "edge_weight": jnp.asarray(ds.edge_weight),
+            "links": _replicate_on(self.mesh, jnp.asarray(ds.links)),
+            "labels": _replicate_on(self.mesh, jnp.asarray(ds.labels)),
+            "sf": _replicate_on(self.mesh, jnp.asarray(sf)),
             "num_nodes": ds.num_nodes,
         }
+        if self._has_graph:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            d["edge_index"] = jax.device_put(
+                jnp.asarray(ei), NamedSharding(self.mesh, P(None, "graph")))
+            d["edge_weight"] = jax.device_put(
+                jnp.asarray(w), NamedSharding(self.mesh, P("graph")))
+            d["mask"] = jax.device_put(
+                jnp.asarray(mask), NamedSharding(self.mesh, P("graph")))
+        else:
+            d["edge_index"] = _replicate_on(self.mesh, jnp.asarray(ei))
+            d["edge_weight"] = _replicate_on(self.mesh, jnp.asarray(w))
         if self.use_feature:
-            d["x"] = jnp.asarray(ds.x)
-        d = {k: (_replicate_on(self.mesh, v) if hasattr(v, "ndim") else v)
-             for k, v in d.items()}
+            d["x"] = _replicate_on(self.mesh, jnp.asarray(ds.x))
         self._data[split] = d
 
     def _node_feats(self, params, batch_stats, data, training, dropout_rng=None):
         variables = {"params": params, "batch_stats": batch_stats}
-        kwargs = dict(edge_weight=data["edge_weight"], training=training)
+        kwargs = dict(edge_weight=data["edge_weight"],
+                      mask=data.get("mask"), training=training)
         x = data["x"] if self.use_feature else None
         if training:
             (feats, _), updates = self.gnn.apply(
@@ -420,11 +460,11 @@ class ElphTrainer:
         gnn_vars = self.gnn.init({"params": rng, "dropout": rng}, x,
                                  data["edge_index"], data["num_nodes"],
                                  edge_weight=data["edge_weight"],
-                                 training=False)
+                                 mask=data.get("mask"), training=False)
         feats, _ = self.gnn.apply(gnn_vars, x, data["edge_index"],
                                   data["num_nodes"],
                                   edge_weight=data["edge_weight"],
-                                  training=False)
+                                  mask=data.get("mask"), training=False)
         links0 = data["links"][:2]
         sf0 = data["sf"][:2]
         nf0 = feats[links0] if feats is not None else None

@@ -53,25 +53,97 @@ def test_lane_sharded_matches_single_device(setup):
     np.testing.assert_allclose(sf, sf_ref, rtol=1e-6, atol=1e-4)
 
 
-def test_distributed_train_step(setup):
-    from subgraph_sketching_tpu.parallel.train import make_distributed_train_step
+def _padded_init(n, n_pad, params):
+    mh0, hll0 = initialise_sketches(n, params)
+    mh0 = np.concatenate(
+        [mh0, np.full((n_pad - n, mh0.shape[1]), np.uint32(0xFFFFFFFF))])
+    hll0 = np.concatenate(
+        [hll0, np.zeros((n_pad - n, hll0.shape[1]), np.int8)])
+    return mh0, hll0
+
+
+def test_node_sharded_build_matches_single_device(setup):
+    """Memory-sharded (node-partitioned, halo-exchange) construction must be
+    bit-exact with the single-device build AND hold only ~1/D of the table
+    per device."""
+    from subgraph_sketching_tpu.parallel import (
+        make_node_partition, node_sharded_build_hash_tables,
+    )
+    g, params, sk_ref, links = setup
+    n = g.num_nodes
+    mesh = make_mesh([8], ("graph",))
+    plan = make_node_partition(np.asarray(g.edge_index), n, 8)
+    mh0, hll0 = _padded_init(n, plan.padded_nodes, params)
+    sk = node_sharded_build_hash_tables(plan, params, mesh, mh0, hll0)
+    np.testing.assert_array_equal(np.asarray(sk.minhash)[:, :n],
+                                  np.asarray(sk_ref.minhash))
+    np.testing.assert_array_equal(np.asarray(sk.hll)[:, :n],
+                                  np.asarray(sk_ref.hll))
+    np.testing.assert_allclose(np.asarray(sk.cards)[:n],
+                               np.asarray(sk_ref.cards), rtol=1e-5)
+    # the memory-sharding claim: every per-device shard holds 1/8 of rows
+    for arr in (sk.minhash, sk.hll):
+        shard = arr.addressable_shards[0].data
+        assert np.prod(shard.shape) == np.prod(arr.shape) // 8, \
+            f"state not sharded: shard {shard.shape} of {arr.shape}"
+
+
+def test_node_sharded_features_match_single_device(setup):
+    from subgraph_sketching_tpu.parallel import (
+        make_node_partition, node_sharded_build_hash_tables,
+        node_sharded_subgraph_features,
+    )
+    g, params, sk_ref, links = setup
+    n = g.num_nodes
+    mesh = make_mesh([8], ("graph",))
+    plan = make_node_partition(np.asarray(g.edge_index), n, 8)
+    mh0, hll0 = _padded_init(n, plan.padded_nodes, params)
+    sk = node_sharded_build_hash_tables(plan, params, mesh, mh0, hll0)
+    sf_ref = np.asarray(subgraph_features(jnp.asarray(links), sk_ref, params))
+    sf = np.asarray(node_sharded_subgraph_features(links, sk, params, mesh))
+    np.testing.assert_allclose(sf, sf_ref, rtol=1e-6, atol=1e-4)
+
+
+def test_distributed_train_step_matches_single_device(setup):
+    """Full ELPH model (GCN + predictor) trained on the 3-axis mesh: the
+    composed dp x graph x lane program must produce the SAME losses and
+    parameters as the single-device step — not merely finite ones."""
+    from subgraph_sketching_tpu.parallel.train import (
+        make_distributed_train_step, single_device_reference_step,
+    )
     g, params, sk_ref, links = setup
     mesh = make_mesh([2, 2, 2], ("data", "graph", "lane"))
-    init_fn, step_fn, _ = make_distributed_train_step(
-        mesh, params, hidden_channels=16, num_nodes=64)
+    kw = dict(hidden_channels=16, num_nodes=64, label_dropout=0.0,
+              feature_dropout=0.0)
+    init_fn, step_fn, _ = make_distributed_train_step(mesh, params, **kw)
+    ref_init, ref_step, _ = single_device_reference_step(params, **kw)
     ei, w, mask = g.padded_edges(multiple=8)
     mh0, hll0 = initialise_sketches(64, params)
     x = jnp.asarray(np.random.default_rng(0).random((64, 16), dtype=np.float32))
     labels = jnp.asarray((np.arange(32) % 2).astype(np.float32))
-    state = init_fn(jax.random.PRNGKey(0), x, jnp.asarray(links))
-    state, loss = step_fn(state, x, jnp.asarray(ei), jnp.asarray(mask),
-                          jnp.asarray(mh0), jnp.asarray(hll0),
-                          jnp.asarray(links), labels)
-    assert np.isfinite(float(loss))
-    state, loss2 = step_fn(state, x, jnp.asarray(ei), jnp.asarray(mask),
-                           jnp.asarray(mh0), jnp.asarray(hll0),
-                           jnp.asarray(links), labels)
-    assert np.isfinite(float(loss2))
+    args = (x, jnp.asarray(ei), jnp.asarray(mask), jnp.asarray(mh0),
+            jnp.asarray(hll0), jnp.asarray(links), labels)
+    state = init_fn(jax.random.PRNGKey(0), x, jnp.asarray(ei),
+                    jnp.asarray(mask), jnp.asarray(links))
+    ref_state = ref_init(jax.random.PRNGKey(0), x, jnp.asarray(ei),
+                         jnp.asarray(mask), jnp.asarray(links))
+    for i in range(2):
+        rng = jax.random.PRNGKey(100 + i)
+        state, loss = step_fn(state, *args, rng)
+        ref_state, ref_loss = ref_step(ref_state, *args, rng)
+        np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    # biases feeding directly into BatchNorm have mathematically ZERO
+    # gradient (BN subtracts the batch mean), so Adam amplifies f32
+    # reduction-order noise there to ~lr scale; every other leaf must match
+    import jax.tree_util as jtu
+    degenerate = ("label_lin_layer']['bias", "lin_out']['bias")
+    for (kp, a), (_, b) in zip(
+            jtu.tree_flatten_with_path(state.params)[0],
+            jtu.tree_flatten_with_path(ref_state.params)[0]):
+        if any(d in jtu.keystr(kp) for d in degenerate):
+            continue
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-5, err_msg=jtu.keystr(kp))
 
 
 def test_dp_batch_sharded_buddy_epoch(setup):
@@ -93,6 +165,38 @@ def test_dp_batch_sharded_buddy_epoch(setup):
     state, loss = trainer.train_epoch(state, np.random.default_rng(0),
                                       jax.random.PRNGKey(0))
     assert np.isfinite(loss)
+
+
+def test_elph_trainer_three_axis_mesh(setup):
+    """ElphTrainer with mesh_shape=[2,2,2] (data x graph x lane): the
+    edge-sharded sketch build, lane-sharded features, and GSPMD-partitioned
+    GCN must reproduce the single-device loss trajectory."""
+    from subgraph_sketching_tpu.config import Config
+    from subgraph_sketching_tpu.graph.splits import random_link_split
+    from subgraph_sketching_tpu.graph.preprocess import build_link_dataset
+    from subgraph_sketching_tpu.train.loops import ElphTrainer
+    g, params, sk_ref, links = setup
+    g2 = Graph(g.edge_index, g.num_nodes,
+               x=np.random.default_rng(1).random((64, 8), dtype=np.float32))
+    losses = {}
+    for mesh_shape, axes in ((None, ["data"]),
+                             ([2, 2, 2], ["data", "graph", "lane"])):
+        cfg = Config(dataset_name="synth-ba", model="ELPH", hidden_channels=8,
+                     batch_size=64, eval_batch_size=64, K=10,
+                     label_dropout=0.0, feature_dropout=0.0,
+                     mesh_shape=mesh_shape, mesh_axes=axes)
+        splits = random_link_split(g2, 0.1, 0.2, seed=0)
+        ds = build_link_dataset(splits["train"], cfg, "train")
+        trainer = ElphTrainer(cfg, ds, params, 8)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        state, loss = trainer.train_epoch(state, np.random.default_rng(0),
+                                          jax.random.PRNGKey(0))
+        state, loss2 = trainer.train_epoch(state, np.random.default_rng(1),
+                                           jax.random.PRNGKey(1))
+        losses[str(mesh_shape)] = (loss, loss2)
+    for a, b in zip(losses["None"], losses["[2, 2, 2]"]):
+        assert np.isfinite(b)
+        assert abs(a - b) < 1e-4, losses
 
 
 def test_buddy_trainer_data_parallel_mesh(setup):
