@@ -39,11 +39,15 @@ struct Rng {
   uint64_t below(uint64_t n) { return n ? next() % n : 0; }
 };
 
-// BFS distances on the local subgraph with one node masked out
-// (the DRNL masking scheme: dist to src is computed with dst removed)
+constexpr int32_t kInf = INT32_MAX / 2;  // unreachable sentinel
+
+// BFS distances on the local subgraph, optionally with one node masked out
+// (the DRNL/DE+ masking scheme: dist to src is computed with dst removed).
+// Unreachable nodes (and the masked node) get kInf; callers clamp per the
+// labelling scheme's rules.
 void masked_bfs(const std::vector<std::vector<int32_t>>& adj, int32_t start,
-                int32_t masked, int32_t max_dist, std::vector<int32_t>* dist) {
-  std::fill(dist->begin(), dist->end(), max_dist);  // unreachable -> max_dist
+                int32_t masked, std::vector<int32_t>* dist) {
+  std::fill(dist->begin(), dist->end(), kInf);
   (*dist)[start] = 0;
   std::queue<int32_t> q;
   q.push(start);
@@ -51,16 +55,15 @@ void masked_bfs(const std::vector<std::vector<int32_t>>& adj, int32_t start,
     int32_t u = q.front();
     q.pop();
     int32_t du = (*dist)[u];
-    if (du >= max_dist) continue;
     for (int32_t v : adj[u]) {
       if (v == masked) continue;
-      if ((*dist)[v] == max_dist && v != start) {
+      if ((*dist)[v] == kInf) {
         (*dist)[v] = du + 1;
         q.push(v);
       }
     }
   }
-  (*dist)[masked] = max_dist;  // caller overrides (reference inserts 0)
+  if (masked >= 0) (*dist)[masked] = kInf;  // caller overrides
 }
 
 int64_t drnl_label(int64_t ds, int64_t dd) {
@@ -76,7 +79,10 @@ int64_t drnl_label(int64_t ds, int64_t dd) {
 
 extern "C" {
 
-// node_label: 0 = drnl, 1 = hop, 2 = zo, 3 = degree, 4 = none
+// node_label: 0 = drnl, 1 = hop, 2 = zo, 3 = degree, 4 = none,
+//             5 = de, 6 = de+ (labels 5/6 write TWO int32 labels per node —
+//             distances to src and dst, reference labelling_tricks.py:97-133
+//             — so out_z must be [num_links x max_nodes x 2])
 // Outputs are [num_links x max_nodes] / [num_links x max_edges] row-major,
 // pre-zeroed by the caller; out_nodes pads with -1.
 // Returns 0 on success.
@@ -182,21 +188,47 @@ int seal_extract_batch(
       }
 
       // labels
-      int32_t* z_row = out_z + (int64_t)li * max_nodes;
+      const int32_t z_dim = node_label >= 5 ? 2 : 1;
+      int32_t* z_row = out_z + (int64_t)li * max_nodes * z_dim;
       if (node_label == 0) {  // drnl with src/dst masking
         std::vector<int32_t> d2s(n_sub), d2t(n_sub);
-        masked_bfs(adj, 0, n_sub > 1 ? 1 : 0, max_dist, &d2s);
+        masked_bfs(adj, 0, n_sub > 1 ? 1 : 0, &d2s);
         if (n_sub > 1) {
-          masked_bfs(adj, 1, 0, max_dist, &d2t);
+          masked_bfs(adj, 1, 0, &d2t);
           d2s[1] = 0;  // reference inserts dist 0 at the masked position
           d2t[0] = 0;
         }
         for (int32_t i = 0; i < n_sub; ++i) {
-          int64_t z = drnl_label(i == 1 ? 0 : d2s[i], i == 0 ? 0 : d2t[i]);
+          int32_t ds = d2s[i] > max_dist ? max_dist : d2s[i];
+          int32_t dt = d2t[i] > max_dist ? max_dist : d2t[i];
+          int64_t z = drnl_label(i == 1 ? 0 : ds, i == 0 ? 0 : dt);
           z_row[i] = (int32_t)z;
         }
         if (n_sub > 0) z_row[0] = 1;
         if (n_sub > 1) z_row[1] = 1;
+      } else if (node_label == 5 || node_label == 6) {  // de / de+
+        std::vector<int32_t> d2s(n_sub), d2t(n_sub);
+        const bool plus = node_label == 6;
+        // de: plain distances on the (target-edge-removed) subgraph;
+        // de+: src/dst-masked distances with 1 at the masked positions
+        masked_bfs(adj, 0, plus && n_sub > 1 ? 1 : -1, &d2s);
+        if (n_sub > 1) {
+          masked_bfs(adj, 1, plus ? 0 : -1, &d2t);
+          if (plus) {
+            d2s[1] = 1;  // reference labelling_tricks.py:123,128
+            d2t[0] = 1;
+          }
+        } else {
+          d2t = d2s;
+        }
+        // de caps at max_dist with unreachable -> max_dist + 1
+        // (labelling_tricks.py:105-106); de+ sends both to max_dist (:131-132)
+        const int32_t unreach = plus ? max_dist : max_dist + 1;
+        for (int32_t i = 0; i < n_sub; ++i) {
+          int32_t a = d2s[i], b = d2t[i];
+          z_row[2 * i] = a >= kInf ? unreach : (a > max_dist ? max_dist : a);
+          z_row[2 * i + 1] = b >= kInf ? unreach : (b > max_dist ? max_dist : b);
+        }
       } else if (node_label == 1) {  // hop distance
         for (int32_t i = 0; i < n_sub; ++i) z_row[i] = dists[i];
       } else if (node_label == 2) {  // zero-one
@@ -219,6 +251,6 @@ int seal_extract_batch(
   return 0;
 }
 
-int seal_extract_version() { return 1; }
+int seal_extract_version() { return 2; }
 
 }  // extern "C"

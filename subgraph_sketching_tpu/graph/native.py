@@ -17,7 +17,10 @@ import numpy as np
 _LIB = None
 _TRIED = False
 
-NODE_LABELS = {"drnl": 0, "hop": 1, "zo": 2, "degree": 3, "none": 4}
+NODE_LABELS = {"drnl": 0, "hop": 1, "zo": 2, "degree": 3, "none": 4,
+               "de": 5, "de+": 6}
+# labelling schemes that emit two labels (dist-to-src, dist-to-dst) per node
+TWO_DIM_LABELS = ("de", "de+")
 
 
 def _load():
@@ -65,8 +68,9 @@ def seal_extract_batch_native(
                    np.ndarray, np.ndarray]:
     """Batched enclosing-subgraph extraction.
 
-    Returns (nodes [B,N], z [B,N], src [B,E], dst [B,E], w [B,E],
-    counts [B,2]) in the dense padded layout of graph.seal.SealBatchArrays.
+    Returns (nodes [B,N], z [B,N] — or [B,N,2] for de/de+ — src [B,E],
+    dst [B,E], w [B,E], counts [B,2]) in the dense padded layout of
+    graph.seal.SealBatchArrays.
     """
     lib = _load()
     assert lib is not None
@@ -77,7 +81,9 @@ def seal_extract_batch_native(
     w_in = (np.ascontiguousarray(weights, dtype=np.float32)
             if weights is not None else None)
     out_nodes = np.full((B, max_nodes), -1, dtype=np.int32)
-    out_z = np.zeros((B, max_nodes), dtype=np.int32)
+    z_shape = ((B, max_nodes, 2) if node_label in TWO_DIM_LABELS
+               else (B, max_nodes))
+    out_z = np.zeros(z_shape, dtype=np.int32)
     out_src = np.zeros((B, max_edges), dtype=np.int32)
     out_dst = np.zeros((B, max_edges), dtype=np.int32)
     out_w = np.zeros((B, max_edges), dtype=np.float32)

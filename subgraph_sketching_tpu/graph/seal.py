@@ -84,7 +84,8 @@ def label_nodes(adj: ssp.csr_matrix, dists: List[int], node_label: str,
 class SealBatchArrays:
     """Dense padded batch of enclosing subgraphs (static shapes for XLA)."""
 
-    z: np.ndarray            # [B, N] int32 node labels (0 where padded)
+    z: np.ndarray            # [B, N] int32 node labels (0 where padded);
+                             # [B, N, 2] for de/de+ (dist-to-src, dist-to-dst)
     node_mask: np.ndarray    # [B, N] bool
     edge_index: np.ndarray   # [B, E, 2] int32 local node ids
     edge_weight: np.ndarray  # [B, E] float32 (0 where padded)
@@ -179,8 +180,9 @@ class SEALDataset:
             x = self.x[safe] * node_mask[..., None]
         degs = np.asarray(self.A.sum(axis=1)).ravel()
         cap = self.max_nodes_per_hop or np.inf
+        zmask = node_mask[..., None] if z.ndim == 3 else node_mask
         return SealBatchArrays(
-            z=z * node_mask, node_mask=node_mask,
+            z=z * zmask, node_mask=node_mask,
             edge_index=np.stack([src, dst], axis=-1) * edge_mask[..., None],
             edge_weight=w * edge_mask, edge_mask=edge_mask,
             x=x.astype(np.float32) if x is not None else None,
@@ -192,8 +194,9 @@ class SEALDataset:
     def _extract_batch_python(self, indices: np.ndarray) -> SealBatchArrays:
         B, N, E = len(indices), self.max_nodes, self.max_edges
         d = self.x.shape[1] if self.x is not None else 0
+        z_shape = (B, N, 2) if self.node_label in ("de", "de+") else (B, N)
         out = SealBatchArrays(
-            z=np.zeros((B, N), np.int32),
+            z=np.zeros(z_shape, np.int32),
             node_mask=np.zeros((B, N), bool),
             edge_index=np.zeros((B, E, 2), np.int32),
             edge_weight=np.zeros((B, E), np.float32),

@@ -157,7 +157,8 @@ def test_native_extraction_matches_python():
     rng = np.random.default_rng(5)
     pos = rng.integers(0, n, (30, 2)).astype(np.int32)
     neg = rng.integers(0, n, (30, 2)).astype(np.int32)
-    for num_hops, label in [(1, "drnl"), (2, "drnl"), (1, "hop"), (1, "zo")]:
+    for num_hops, label in [(1, "drnl"), (2, "drnl"), (1, "hop"), (1, "zo"),
+                            (1, "de"), (2, "de"), (1, "de+"), (2, "de+")]:
         # max_nodes/max_edges big enough that nothing truncates: under
         # truncation the two paths legitimately keep different subsets
         ds = SEALDataset(g, pos, neg, num_hops=num_hops, node_label=label,
@@ -168,9 +169,15 @@ def test_native_extraction_matches_python():
         for i in range(20):
             assert (set(bn.node_ids[i][bn.node_mask[i]].tolist())
                     == set(bp.node_ids[i][bp.node_mask[i]].tolist()))
-            assert (sorted(bn.z[i][bn.node_mask[i]].tolist())
-                    == sorted(bp.z[i][bp.node_mask[i]].tolist())), (
-                        f"hops={num_hops} label={label} link {i}")
+            # ordering may differ: compare labels keyed by global node id
+            # (works for 1-label and 2-label [de/de+] schemes alike)
+            zn = {int(nid): np.atleast_1d(z).tolist() for nid, z in
+                  zip(bn.node_ids[i][bn.node_mask[i]],
+                      bn.z[i][bn.node_mask[i]])}
+            zp = {int(nid): np.atleast_1d(z).tolist() for nid, z in
+                  zip(bp.node_ids[i][bp.node_mask[i]],
+                      bp.z[i][bp.node_mask[i]])}
+            assert zn == zp, f"hops={num_hops} label={label} link {i}"
             assert bn.edge_mask[i].sum() == bp.edge_mask[i].sum()
         np.testing.assert_allclose(bn.y, bp.y)
         np.testing.assert_allclose(bn.src_degree, bp.src_degree)
