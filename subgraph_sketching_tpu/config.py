@@ -96,8 +96,22 @@ class Config:
     max_hash_hops: int = 2
     subgraph_feature_batch_size: int = 11000000
 
-    # ---- logging (reference: wandb; here: metrics logger) ----
+    # ---- logging (reference: wandb, run.py:242-259; here: JSONL sink with
+    # optional wandb passthrough — the full sweep/diagnostic flag surface is
+    # mirrored so reference sweep commands parse) ----
     wandb: bool = False
+    use_wandb_offline: bool = False   # reference --wandb_offline
+    wandb_sweep: bool = False         # sweep mode: wandb.config overrides cfg
+    wandb_watch_grad: bool = False
+    wandb_track_grad_flow: bool = False
+    wandb_entity: str = "link-prediction"
+    wandb_project: str = "link-prediction"
+    wandb_group: str = "testing"
+    wandb_run_name: Optional[str] = None
+    wandb_output_dir: str = "./wandb_output"
+    wandb_log_freq: int = 1
+    wandb_epoch_list: List[int] = field(
+        default_factory=lambda: [0, 1, 2, 4, 8, 16])
     log_features: bool = False
 
     # ---- TPU-native additions (no reference equivalent) ----
@@ -105,7 +119,7 @@ class Config:
     profile_dir: Optional[str] = None  # write a jax.profiler trace of epoch 0
     seed: int = 0
     dtype: str = "float32"  # compute dtype for the MLP/conv path
-    use_pallas: bool = True  # use Pallas kernels where available
+    use_plan: bool = True  # padded-tree static reduction plan for segment ops
     mesh_shape: Optional[List[int]] = None  # e.g. [8] for 8-way data parallel
     mesh_axes: List[str] = field(default_factory=lambda: ["data"])
     checkpoint_dir: Optional[str] = None

@@ -142,7 +142,7 @@ def build_link_dataset(split_data: SplitData, cfg: Config, split: str,
         if g.x is not None:
             t0 = time()
             x = sign_features(g.x, g.edge_index, g.edge_weight, g.num_nodes,
-                              cfg.sign_k, use_plan=cfg.use_pallas)
+                              cfg.sign_k, use_plan=cfg.use_plan)
             if cfg.load_features and feat_cache:
                 np.savez(feat_cache, x=x)
 
@@ -164,7 +164,7 @@ def build_link_dataset(split_data: SplitData, cfg: Config, split: str,
         else:
             from subgraph_sketching_tpu.ops.segment_scan import make_plan
             plan = (make_plan(g.edge_index, g.num_nodes)
-                    if cfg.use_pallas else None)
+                    if cfg.use_plan else None)
             sketches = build_hash_tables(jnp.asarray(g.edge_index),
                                          g.num_nodes, params, plan=plan)
             if hash_cache and cfg.load_hashes:

@@ -96,44 +96,87 @@ def personalized_pagerank(A: ssp.csr_matrix, links: np.ndarray,
 
 # ----------------------------------------------------------------- device --
 
-def heuristic_scores_device(edge_index: jnp.ndarray,
-                            edge_weight: Optional[jnp.ndarray],
-                            num_nodes: int, links: jnp.ndarray,
-                            kind: str = "CN",
-                            mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """Batched CN/AA/RA on device without materialising A.
+class DeviceHeuristics:
+    """Batched CN/AA/RA on TPU via degree-bucketed neighbour intersection.
 
-    score(u,v) = Σ_w A[u,w] * f(deg(w)) * A[v,w].  Computed as an SDDMM over
-    one-hot row gathers is memory-prohibitive; instead we build the weighted
-    dense rows for the batch via segment ops: for each link endpoint, scatter
-    its incident edges into a [B, n] row.  Intended for moderate n (Planetoid
-    scale) or as a building block behind batching.
+    score(u,v) = Σ_w A[u,w] · f(deg(w)) · A[v,w]  (reference
+    src/heuristics.py:11-71).  TPU-first design: pad each endpoint's
+    neighbour list to a per-bucket width D, then intersect with one fused
+    compare-all reduction eq[b,i,j] = (nbr_u[b,i] == nbr_v[b,j]) — static
+    shapes, zero gathers on the hot path, O(B·D²) VPU work and O(B·D)
+    memory (the previous design materialised an O(B·E) one-hot).  Links are
+    binned by max endpoint degree so hub pairs compile into their own
+    (rare, wide) bucket instead of padding everything to the hub width.
     """
-    src, dst = edge_index[0], edge_index[1]
-    w = (jnp.ones(src.shape[0], jnp.float32) if edge_weight is None
-         else edge_weight.astype(jnp.float32))
-    if mask is not None:
-        w = jnp.where(mask, w, 0.0)
-    deg = segment_sum(w, dst, num_nodes)
-    if kind == "CN":
-        f = jnp.ones_like(deg)
-    elif kind == "AA":
-        f = jnp.where(deg > 1, 1.0 / jnp.log(jnp.maximum(deg, 1.001)), 0.0)
-    elif kind == "RA":
-        f = jnp.where(deg > 0, 1.0 / jnp.maximum(deg, 1e-12), 0.0)
-    else:
-        raise ValueError(kind)
 
-    # dense adjacency rows for the batch endpoints: [B, n]
-    def rows(nodes):
-        # A[node, w_col]: edges with src == node contribute weight at dst col
-        onehot = (src[None, :] == nodes[:, None]).astype(jnp.float32) * w[None, :]
-        return jax_scatter_cols(onehot, dst, num_nodes)
-
-    def jax_scatter_cols(vals, cols, n):
+    def __init__(self, A: ssp.csr_matrix, buckets: Tuple[int, ...] = (),
+                 chunk_elems: int = 1 << 25):
         import jax
-        return jax.vmap(lambda v: segment_sum(v, cols, n))(vals)
 
-    ru = rows(links[:, 0])
-    rv = rows(links[:, 1])
-    return jnp.sum(ru * f[None, :] * rv, axis=1)
+        self._jax = jax
+        A = A.tocsr()
+        self.n = A.shape[0]
+        deg_w = np.asarray(A.sum(axis=0)).ravel()  # weighted, like the ref
+        with np.errstate(divide="ignore"):
+            inv_log = 1.0 / np.log(deg_w)
+            inv = 1.0 / deg_w
+        self.f_by_kind = {
+            "CN": np.ones(self.n, np.float32),
+            "AA": np.where(np.isfinite(inv_log), inv_log, 0).astype(np.float32),
+            "RA": np.where(np.isfinite(inv), inv, 0).astype(np.float32),
+        }
+        self.indptr = A.indptr
+        self.indices = A.indices
+        self.data = A.data.astype(np.float32)
+        self.deg = np.diff(A.indptr)
+        max_deg = max(int(self.deg.max()), 1) if self.n else 1
+        if not buckets:
+            buckets, b = [], 32
+            while b < max_deg:
+                buckets.append(b)
+                b *= 8
+            buckets.append(1 << (max_deg - 1).bit_length())
+        self.buckets = tuple(buckets)
+        self.chunk_elems = chunk_elems
+        self._score_jit = jax.jit(self._score_chunk,
+                                  static_argnames=("D", "B"))
+
+    def _padded(self, nodes: np.ndarray, D: int):
+        """[B, D] neighbour ids (pad = n, matches nothing) + weights."""
+        B = len(nodes)
+        nbr = np.full((B, D), self.n, np.int32)
+        w = np.zeros((B, D), np.float32)
+        for i, u in enumerate(nodes):
+            s, e = self.indptr[u], self.indptr[u + 1]
+            nbr[i, :e - s] = self.indices[s:e]
+            w[i, :e - s] = self.data[s:e]
+        return nbr, w
+
+    @staticmethod
+    def _score_chunk(nu, wu, nv, wv, fu, D: int, B: int):
+        eq = (nu[:, :, None] == nv[:, None, :]).astype(jnp.float32)
+        return jnp.einsum("bij,bi,bj->b", eq, wu * fu, wv)
+
+    def scores(self, links: np.ndarray, kind: str = "CN") -> np.ndarray:
+        f = self.f_by_kind[kind]
+        out = np.zeros(len(links), np.float32)
+        need = np.maximum(self.deg[links[:, 0]], self.deg[links[:, 1]])
+        bucket_of = np.searchsorted(np.asarray(self.buckets), need)
+        for bi, D in enumerate(self.buckets):
+            sel = np.nonzero(bucket_of == bi)[0]
+            if not len(sel):
+                continue
+            B = max(1, min(len(sel), self.chunk_elems // (D * D)))
+            for s in range(0, len(sel), B):
+                idx = sel[s:s + B]
+                pad = B - len(idx)
+                safe = np.concatenate([idx, np.zeros(pad, np.int64)]) if pad \
+                    else idx
+                nu, wu = self._padded(links[safe, 0], D)
+                nv, wv = self._padded(links[safe, 1], D)
+                fu = f[np.minimum(nu, self.n - 1)] * (nu < self.n)
+                res = np.asarray(self._score_jit(
+                    jnp.asarray(nu), jnp.asarray(wu), jnp.asarray(nv),
+                    jnp.asarray(wv), jnp.asarray(fu), D=D, B=B))
+                out[idx] = res[:len(idx)]
+        return out

@@ -14,11 +14,46 @@ import time
 from typing import Any, Dict, Optional
 
 
+def apply_sweep_overrides(cfg):
+    """Sweep-driven config override (reference wandb_setup.py:31: when
+    sweeping, ``wandb.config`` values replace the parsed args).
+
+    Two sources, merged in order:
+      * ``SWEEP_OVERRIDES`` env var — a JSON object of field: value pairs
+        (works without wandb / network, e.g. for local grid sweeps)
+      * ``wandb.config`` when ``cfg.wandb_sweep`` and wandb is importable
+
+    Returns the (mutated) cfg.
+    """
+    overrides: Dict[str, Any] = {}
+    env = os.environ.get("SWEEP_OVERRIDES")
+    if env:
+        overrides.update(json.loads(env))
+    if getattr(cfg, "wandb_sweep", False):
+        try:
+            import wandb
+            if wandb.run is None:
+                wandb.init(entity=cfg.wandb_entity, project=cfg.wandb_project,
+                           group=cfg.wandb_group, name=cfg.wandb_run_name,
+                           dir=cfg.wandb_output_dir)
+            overrides.update(dict(wandb.run.config))
+        except ImportError:
+            print("wandb_sweep set but wandb not installed; "
+                  "using SWEEP_OVERRIDES only")
+    for k, v in overrides.items():
+        if hasattr(cfg, k):
+            setattr(cfg, k, v)
+        else:
+            print(f"sweep override ignores unknown config field {k!r}")
+    return cfg
+
+
 class MetricsLogger:
     """log(dict) -> stdout summary + JSONL file (+ optional wandb)."""
 
     def __init__(self, run_dir: Optional[str] = None, use_wandb: bool = False,
-                 config: Optional[Dict[str, Any]] = None, quiet: bool = True):
+                 config: Optional[Dict[str, Any]] = None, quiet: bool = True,
+                 wandb_kwargs: Optional[Dict[str, Any]] = None):
         self.run_dir = run_dir
         self.quiet = quiet
         self._fh = None
@@ -34,7 +69,8 @@ class MetricsLogger:
             try:
                 import wandb
                 self._wandb = wandb
-                wandb.init(config=config or {})
+                if wandb.run is None:
+                    wandb.init(config=config or {}, **(wandb_kwargs or {}))
             except ImportError:
                 print("wandb requested but not installed; logging to JSONL only")
 

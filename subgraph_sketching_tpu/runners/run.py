@@ -87,7 +87,12 @@ def run(cfg: Config):
     logger = MetricsLogger(
         run_dir=cfg.checkpoint_dir, use_wandb=cfg.wandb,
         config=None if cfg.checkpoint_dir is None else
-        __import__("json").loads(cfg.to_json()))
+        __import__("json").loads(cfg.to_json()),
+        wandb_kwargs=dict(
+            entity=cfg.wandb_entity, project=cfg.wandb_project,
+            group=cfg.wandb_group, name=cfg.wandb_run_name,
+            dir=cfg.wandb_output_dir,
+            mode="offline" if cfg.use_wandb_offline else "online"))
     results_list = []
     for rep in range(cfg.reps):
         host_rng = set_seed(rep)
@@ -212,6 +217,8 @@ def main(argv=None):
         if d[k] is not None and d[k] < 0:
             d[k] = inf
     cfg = Config(**d)
+    from subgraph_sketching_tpu.metrics_logging import apply_sweep_overrides
+    cfg = apply_sweep_overrides(cfg)  # reference wandb_setup.py:31
     if cfg.platform:
         # config.update is the reliable way to force a platform here: the
         # axon sitecustomize imports jax at interpreter start, which latches

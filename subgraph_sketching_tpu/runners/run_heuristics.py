@@ -29,7 +29,8 @@ HEURISTICS = {
 }
 
 
-def run(cfg: Config, heuristics=("RA", "CN", "AA", "PPR")):
+def run(cfg: Config, heuristics=("RA", "CN", "AA", "PPR"),
+        device: bool = False):
     # dataset-specific K (reference run_heuristics.py:27-31)
     k = 100
     if cfg.dataset_name == "ogbl-collab":
@@ -46,11 +47,18 @@ def run(cfg: Config, heuristics=("RA", "CN", "AA", "PPR")):
             splits, directed, eval_metric = get_data(cfg)
             A_train = splits["train"].graph.csr()
             A_test = splits["test"].graph.csr()
+            dev_scorers = {}
+            if device and name != "PPR":
+                from subgraph_sketching_tpu.heuristics import DeviceHeuristics
+                dev_scorers = {id(A_train): DeviceHeuristics(A_train),
+                               id(A_test): DeviceHeuristics(A_test)}
 
             def score(A, links):
                 if name == "PPR":
                     s, _ = personalized_pagerank(A, links)
                     return s
+                if dev_scorers:
+                    return dev_scorers[id(A)].scores(links, name)
                 return HEURISTICS[name](A, links)
 
             preds = {}
@@ -92,9 +100,12 @@ def main(argv=None):
     parser.add_argument("--dataset_name", type=str, default="Cora")
     parser.add_argument("--reps", type=int, default=1)
     parser.add_argument("--heuristics", type=str, default="RA,CN,AA,PPR")
+    parser.add_argument("--device", action="store_true",
+                        help="score CN/AA/RA on the TPU (bucketed "
+                             "neighbour-intersection path)")
     args = parser.parse_args(argv)
     cfg = Config(dataset_name=args.dataset_name, reps=args.reps)
-    return run(cfg, tuple(args.heuristics.split(",")))
+    return run(cfg, tuple(args.heuristics.split(",")), device=args.device)
 
 
 if __name__ == "__main__":

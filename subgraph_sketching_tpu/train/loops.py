@@ -406,7 +406,7 @@ class ElphTrainer:
             else:
                 from subgraph_sketching_tpu.ops.segment_scan import make_plan
                 plan = (make_plan(ds.edge_index, ds.num_nodes)
-                        if self.cfg.use_pallas else None)
+                        if self.cfg.use_plan else None)
                 sketches = build_hash_tables(jnp.asarray(ei), ds.num_nodes,
                                              self.sketch_params, plan=plan)
         if self._has_lane:

@@ -86,6 +86,37 @@ def test_heuristics_hand_computed():
     np.testing.assert_allclose(aa, [1 / np.log(3)] * 3, rtol=1e-6)
 
 
+def test_device_heuristics_match_host():
+    """Bucketed compare-all device path == scipy host path for CN/AA/RA on a
+    weighted hub-heavy graph (covers multiple degree buckets)."""
+    import scipy.sparse as ssp
+    from subgraph_sketching_tpu.heuristics import (
+        DeviceHeuristics, adamic_adar, common_neighbours,
+        resource_allocation,
+    )
+    n = 400
+    ei = barabasi_albert_graph(n, 6, seed=2)
+    rng = np.random.default_rng(0)
+    w = rng.integers(1, 4, ei.shape[1]).astype(np.float32)
+    # symmetric weights: weight of (u,v) == (v,u)
+    key = np.minimum(ei[0], ei[1]) * n + np.maximum(ei[0], ei[1])
+    _, first = np.unique(key, return_index=True)
+    wmap = dict(zip(key[first], w[first]))
+    w = np.array([wmap[k] for k in key], np.float32)
+    A = ssp.csr_matrix((w, (ei[0], ei[1])), shape=(n, n))
+    links = np.stack([rng.integers(0, n, 200),
+                      rng.integers(0, n, 200)], axis=1)
+    links[:8, 0] = 0  # include hub endpoints (BA node 0 has high degree)
+    dev = DeviceHeuristics(A)
+    assert len(dev.buckets) > 1, "hub graph should span multiple buckets"
+    for kind, host_fn in (("CN", common_neighbours),
+                          ("AA", adamic_adar),
+                          ("RA", resource_allocation)):
+        np.testing.assert_allclose(dev.scores(links, kind),
+                                   host_fn(A, links), rtol=1e-4, atol=1e-5,
+                                   err_msg=kind)
+
+
 def test_ppr_sums_to_one():
     import scipy.sparse as ssp
     from subgraph_sketching_tpu.heuristics import personalized_pagerank
