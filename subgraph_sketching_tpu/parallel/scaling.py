@@ -63,6 +63,48 @@ def measure_scaling(num_nodes: int = 20000, avg_deg: int = 16,
     return results
 
 
+def measure_node_sharded_scaling(num_nodes: int = 20000, avg_deg: int = 16,
+                                 device_counts: List[int] = None,
+                                 iters: int = 3) -> Dict[int, float]:
+    """edges/s of the memory-sharded (node-partitioned, halo-exchange)
+    build per device count — per-device state is ~1/D of the table."""
+    from subgraph_sketching_tpu.parallel.node_sharded import (
+        make_node_partition, node_sharded_build_hash_tables,
+    )
+    if device_counts is None:
+        n_dev = len(jax.devices())
+        device_counts = [d for d in (2, 4, 8, 16) if d <= n_dev]
+    rng = np.random.default_rng(0)
+    e = num_nodes * avg_deg
+    ei = np.stack([rng.integers(0, num_nodes, e, dtype=np.int32),
+                   rng.integers(0, num_nodes, e, dtype=np.int32)])
+    params = SketchParams(max_hops=2)
+    mh0, hll0 = initialise_sketches(num_nodes, params)
+
+    results = {}
+    for d in device_counts:
+        mesh = make_mesh([d], ("graph",))
+        plan = make_node_partition(ei, num_nodes, d)
+        pad = plan.padded_nodes - num_nodes
+        mh0p = np.concatenate(
+            [mh0, np.full((pad, mh0.shape[1]), np.uint32(0xFFFFFFFF))])
+        hll0p = np.concatenate([hll0, np.zeros((pad, hll0.shape[1]), np.int8)])
+
+        def run():
+            sk = node_sharded_build_hash_tables(plan, params, mesh, mh0p,
+                                                hll0p)
+            jax.block_until_ready(sk.cards)
+
+        run()  # compile
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            run()
+            times.append(time.perf_counter() - t0)
+        results[d] = params.max_hops * e / min(times)
+    return results
+
+
 def scaling_efficiency(results: Dict[int, float]) -> Dict[int, float]:
     base = results[min(results)]
     return {d: eps / (base * d / min(results)) for d, eps in results.items()}

@@ -1,0 +1,58 @@
+"""Record the per-round scaling artifact (SCALING_r{N}.json).
+
+Runs the edge-sharded (replicated-state) and node-sharded (memory-sharded,
+halo-exchange) sketch-build scaling sweeps on the virtual CPU mesh.  CPU-mesh
+numbers validate the collective structure and the harness — not ICI
+bandwidth; on a real pod slice the same functions report true scaling
+(BASELINE.md criterion 4: >= 80% efficiency).
+
+Usage: python tools/run_scaling.py [round_number]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8")
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def main():
+    rnd = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    from subgraph_sketching_tpu.parallel.scaling import (
+        measure_node_sharded_scaling, measure_scaling, scaling_efficiency,
+    )
+    edge = measure_scaling()
+    node = measure_node_sharded_scaling()
+    out = {
+        "backend": "cpu-virtual-8",
+        "note": ("structure-validation numbers (virtual CPU mesh; "
+                 "collectives are memcpy, not ICI)"),
+        "edge_sharded": {
+            "edges_per_s": {str(d): round(v) for d, v in edge.items()},
+            "efficiency": {str(d): round(v, 3)
+                           for d, v in scaling_efficiency(edge).items()},
+        },
+        "node_sharded": {
+            "edges_per_s": {str(d): round(v) for d, v in node.items()},
+            "efficiency": {str(d): round(v, 3)
+                           for d, v in scaling_efficiency(node).items()},
+        },
+    }
+    path = os.path.join(os.path.dirname(__file__), "..",
+                        f"SCALING_r{rnd:02d}.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out, indent=2))
+    print(f"wrote {os.path.abspath(path)}")
+
+
+if __name__ == "__main__":
+    main()
