@@ -128,11 +128,15 @@ class SortedSegmentPlan:
         """Fused minhash-min + HLL-max propagation with ONE combined gather.
 
         The gather is descriptor-rate-bound on TPU (~100M rows/s measured),
-        so gathering one 768B combined row per slot instead of separate
-        512B + 256B rows nearly halves the bottleneck.  uint32 minhash lanes
-        ride sign-bit-biased so int32 min preserves unsigned order; the int8
-        HLL registers ride byte-packed in int32 lanes and are bitcast back
-        after the gather (free — layout-only).
+        so one 768B combined row per slot halves descriptors vs separate
+        512B + 256B rows — but the 192-lane row pads to 256 lanes (2 vregs)
+        in the tiled layout, and the measured result (29.6M e/s vs 36M for
+        the two-gather path) shows the extra bandwidth costs more than the
+        descriptor saving.  Kept for narrower-sketch configs where the
+        combined row fits 128 lanes.  minhash min is plain jnp.minimum on
+        uint32 (exact); the int8 HLL registers ride byte-packed in uint32
+        lanes with a SWAR byte-max and are bitcast back after the reduction
+        (layout-only).
         """
         if self.num_subruns == 0:
             return mh, hll

@@ -78,6 +78,12 @@ def eval_subset(total: int, n_samples, dataset_name: str = "") -> np.ndarray:
     random pos/neg mix (data.py:47-54); a plain prefix would be all
     positives.  citation2 keeps aligned same-source negatives and must stay
     ordered (data.py:48-49).
+
+    Deliberate behavioural difference vs the reference: the subsample uses a
+    FIXED seed (12345), so every repetition and epoch evaluates the same
+    subset — metrics are comparable across reps/epochs, at the cost of not
+    re-randomising per eval the way the reference's shuffled loaders do.
+    Full-split evaluation (the default) is unaffected.
     """
     if n_samples is None or n_samples >= total:
         return np.arange(total, dtype=np.int32)

@@ -44,6 +44,23 @@ def exact_k_hop_sets(edge_index: np.ndarray, num_nodes: int, k: int):
 
 # ------------------------------------------------------------------ hashing --
 
+def test_packed_features_match_unpacked(ba_graph):
+    """Hop-packed single-gather feature path == the per-hop gather path
+    bit-for-bit (packing is a layout change only)."""
+    from subgraph_sketching_tpu.sketch.elph import (
+        pack_sketches, subgraph_features_packed,
+    )
+    n = 30
+    params = SketchParams(max_hops=2)
+    sk = build_hash_tables(jnp.asarray(ba_graph), n, params)
+    links = jnp.asarray(np.stack([np.arange(16), (np.arange(16) * 5 + 2) % n],
+                                 axis=1).astype(np.int32))
+    ref = np.asarray(subgraph_features(links, sk, params))
+    packed = pack_sketches(sk, params)
+    got = np.asarray(subgraph_features_packed(links, packed, sk.cards, params))
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_splitmix64_matches_pandas():
     from pandas.util import hash_array
     a = np.arange(1, 1001, dtype=np.int64)

@@ -131,6 +131,36 @@ def main(probes):
             return plan.reduce_sketches(a, b)
         report("reduce_sketches (192-lane)", timeit(comb, mhj, hllj))
 
+    if "features" in probes:
+        from subgraph_sketching_tpu.sketch import (
+            SketchParams, build_hash_tables, subgraph_features,
+        )
+        from subgraph_sketching_tpu.sketch.elph import (
+            pack_sketches, subgraph_features_packed,
+        )
+        params = SketchParams(max_hops=2)
+        sk = build_hash_tables(jnp.asarray(np.stack([src, dst])), NUM_NODES,
+                               params)
+        B = 1 << 18
+        links = jnp.asarray(np.stack(
+            [rng.integers(0, NUM_NODES, B, dtype=np.int32),
+             rng.integers(0, NUM_NODES, B, dtype=np.int32)], axis=1))
+
+        @jax.jit
+        def f_old(lnk, s):
+            return subgraph_features(lnk, s, params)
+        t = timeit(f_old, links, sk)
+        report("features per-hop gathers", t, denom=B)
+
+        packed = jax.jit(lambda s: pack_sketches(s, params))(sk)
+        jax.block_until_ready(packed)
+
+        @jax.jit
+        def f_packed(lnk, p, c):
+            return subgraph_features_packed(lnk, p, c, params)
+        t = timeit(f_packed, links, packed, sk.cards)
+        report("features hop-packed gather", t, denom=B)
+
     if "mh_half" in probes:
         # descriptor-rate hypothesis: same lanes, half rows -> 2 rows/slot
         mh2 = mh.reshape(NUM_NODES // 2, 2 * NUM_PERM)
