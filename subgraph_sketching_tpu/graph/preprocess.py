@@ -155,12 +155,34 @@ def build_link_dataset(split_data: SplitData, cfg: Config, split: str,
             "cached subgraph features are inconsistent with the link object; "
             "delete the cache file and regenerate")
     else:
+        mesh = None
+        if cfg.mesh_shape and "graph" in (cfg.mesh_axes or []):
+            from subgraph_sketching_tpu.parallel.mesh import make_mesh
+            mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes)
         hash_cache = _cache_name(cfg, split, "hashes")
         if hash_cache and cfg.load_hashes and os.path.exists(hash_cache):
             z = np.load(hash_cache)
             sketches = Sketches(minhash=jnp.asarray(z["minhash"]),
                                 hll=jnp.asarray(z["hll"]),
                                 cards=jnp.asarray(z["cards"]))
+        elif mesh is not None:
+            # memory-sharded preprocessing (the citation2-scale path): the
+            # sketch tables never sit whole on one chip — node-partitioned
+            # build with halo exchange, per-batch psum-assembled features
+            from subgraph_sketching_tpu.parallel.node_sharded import (
+                make_node_partition, node_sharded_build_hash_tables,
+            )
+            from subgraph_sketching_tpu.sketch.elph import initialise_sketches
+            D = mesh.shape["graph"]
+            part = make_node_partition(g.edge_index, g.num_nodes, D)
+            mh0, hll0 = initialise_sketches(g.num_nodes, params)
+            pad = part.padded_nodes - g.num_nodes
+            mh0 = np.concatenate(
+                [mh0, np.full((pad, mh0.shape[1]), np.uint32(0xFFFFFFFF))])
+            hll0 = np.concatenate(
+                [hll0, np.zeros((pad, hll0.shape[1]), np.int8)])
+            sketches = node_sharded_build_hash_tables(part, params, mesh,
+                                                      mh0, hll0)
         else:
             from subgraph_sketching_tpu.ops.segment_scan import make_plan
             plan = (make_plan(g.edge_index, g.num_nodes)
@@ -171,9 +193,27 @@ def build_link_dataset(split_data: SplitData, cfg: Config, split: str,
                 np.savez(hash_cache, minhash=np.asarray(sketches.minhash),
                          hll=np.asarray(sketches.hll),
                          cards=np.asarray(sketches.cards))
-        sf = np.asarray(subgraph_features_batched(
-            links, sketches, params,
-            batch_size=min(cfg.subgraph_feature_batch_size, 1 << 18)))
+        if mesh is not None and sketches.minhash.shape[1] != g.num_nodes:
+            from subgraph_sketching_tpu.parallel.node_sharded import (
+                node_sharded_subgraph_features,
+            )
+            bs = min(cfg.subgraph_feature_batch_size, 1 << 18)
+            chunks = []
+            for s in range(0, len(links), bs):
+                chunk = np.asarray(links[s:s + bs], dtype=np.int32)
+                pad = 0
+                if len(chunk) < bs and s > 0:
+                    pad = bs - len(chunk)
+                    chunk = np.concatenate(
+                        [chunk, np.zeros((pad, 2), np.int32)])
+                res = np.asarray(node_sharded_subgraph_features(
+                    jnp.asarray(chunk), sketches, params, mesh))
+                chunks.append(res[:len(res) - pad] if pad else res)
+            sf = np.concatenate(chunks, axis=0)[:len(links)]
+        else:
+            sf = np.asarray(subgraph_features_batched(
+                links, sketches, params,
+                batch_size=min(cfg.subgraph_feature_batch_size, 1 << 18)))
         if sf_cache and cfg.cache_subgraph_features:
             np.savez(sf_cache, sf=sf)
 

@@ -59,6 +59,8 @@ def _shard_axis_on(mesh, a, axis):
     if mesh is None:
         return a
     from jax.sharding import NamedSharding, PartitionSpec as P
+    if "data" not in mesh.axis_names:  # e.g. a graph-only preprocessing mesh
+        return jax.device_put(a, NamedSharding(mesh, P()))
     spec = [None] * a.ndim
     spec[axis] = "data"
     return jax.device_put(a, NamedSharding(mesh, P(*spec)))

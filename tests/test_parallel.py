@@ -199,6 +199,26 @@ def test_elph_trainer_three_axis_mesh(setup):
         assert abs(a - b) < 1e-4, losses
 
 
+def test_buddy_preprocessing_memory_sharded(setup):
+    """BUDDY preprocessing with a graph mesh axis: node-sharded sketch build
+    + psum-assembled features must reproduce the single-device subgraph
+    features (the citation2-scale memory plan)."""
+    from subgraph_sketching_tpu.config import Config
+    from subgraph_sketching_tpu.graph.splits import random_link_split
+    from subgraph_sketching_tpu.graph.preprocess import build_link_dataset
+    g, params, sk_ref, links = setup
+    g2 = Graph(g.edge_index, g.num_nodes,
+               x=np.random.default_rng(1).random((64, 8), dtype=np.float32))
+    splits = random_link_split(g2, 0.1, 0.2, seed=0)
+    sfs = {}
+    for mesh_shape, axes in ((None, ["data"]), ([8], ["graph"])):
+        cfg = Config(dataset_name="synth-ba", model="BUDDY",
+                     mesh_shape=mesh_shape, mesh_axes=axes)
+        ds = build_link_dataset(splits["train"], cfg, "train")
+        sfs[str(mesh_shape)] = ds.subgraph_features
+    np.testing.assert_allclose(sfs["[8]"], sfs["None"], rtol=1e-6, atol=1e-4)
+
+
 def test_buddy_trainer_data_parallel_mesh(setup):
     """BuddyTrainer with mesh_shape=[8]: DP epoch must match the
     single-device epoch's loss trajectory (same data, same rng)."""
