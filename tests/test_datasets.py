@@ -1,0 +1,163 @@
+"""Dataset loaders exercised hermetically (no network, no real data).
+
+The Planetoid path parses synthesized raw files in the standard pickle
+format; the OGB path runs against a fake ``ogb.linkproppred`` module — so
+both previously data-gated code paths are covered by CI.
+"""
+
+import os
+import pickle
+import sys
+import types
+
+import numpy as np
+import pytest
+import scipy.sparse as ssp
+
+from subgraph_sketching_tpu.config import Config
+from subgraph_sketching_tpu.graph.datasets import get_data, load_planetoid
+
+
+def _write_planetoid(root: str, name: str, key: str, n_all: int = 40,
+                     n_test: int = 10, d: int = 8, gap: bool = False):
+    """Synthesize ind.<key>.* files in the standard Planetoid layout:
+    allx [n_all, d] + tx [n_test, d]; graph dict; shuffled test.index."""
+    rng = np.random.default_rng(3)
+    raw = os.path.join(root, name, "raw")
+    os.makedirs(raw, exist_ok=True)
+    n = n_all + n_test + (2 if gap else 0)  # gap: isolated trailing nodes
+    allx = ssp.csr_matrix(rng.random((n_all, d)).astype(np.float32))
+    tx = ssp.csr_matrix(
+        rng.random((n_test, d)).astype(np.float32) + 1.0)  # distinguishable
+    # ring + chords so the LCC covers everything connected
+    graph = {v: [(v + 1) % (n_all + n_test)] for v in range(n_all + n_test)}
+    graph[0].append(n_all)  # chord into the test region
+    if gap:
+        graph[n - 2] = []
+        graph[n - 1] = []
+    test_index = rng.permutation(np.arange(n_all, n_all + n_test))
+    if gap:  # citeseer-style: test indices skip some ids entirely
+        test_index = np.concatenate([test_index[:-1], [n - 1]])
+    for obj, payload in (("x", allx[:5]), ("tx", tx), ("allx", allx),
+                         ("graph", graph)):
+        with open(os.path.join(raw, f"ind.{key}.{obj}"), "wb") as f:
+            pickle.dump(payload, f)
+    with open(os.path.join(raw, f"ind.{key}.test.index"), "w") as f:
+        f.write("\n".join(str(i) for i in test_index))
+    return test_index, np.asarray(tx.todense())
+
+
+def test_planetoid_loader_end_to_end(tmp_path):
+    test_index, tx = _write_planetoid(str(tmp_path), "Cora", "cora")
+    g = load_planetoid("Cora", str(tmp_path))
+    assert g.num_nodes == 50
+    assert g.x.shape == (50, 8)
+    # test-node features land at the (shuffled) test.index positions
+    np.testing.assert_allclose(g.x[test_index], tx)
+    # undirected, no self loops
+    ei = g.edge_index
+    assert (ei[0] != ei[1]).all()
+    pairs = set(map(tuple, ei.T.tolist()))
+    assert all((b, a) in pairs for a, b in pairs)
+
+    # the full get_data pipeline (LCC + splits) runs on it
+    cfg = Config(dataset_name="Cora", data_root=str(tmp_path))
+    splits, directed, metric = get_data(cfg)
+    assert not directed and metric == "hits"
+    assert set(splits) == {"train", "valid", "test"}
+    assert len(splits["test"].pos_edges) > 0
+
+
+def test_planetoid_citeseer_gap_handling(tmp_path):
+    """Citeseer's isolated test nodes create index gaps; the parser must
+    zero-fill the missing rows instead of crashing."""
+    _write_planetoid(str(tmp_path), "Citeseer", "citeseer", gap=True)
+    g = load_planetoid("Citeseer", str(tmp_path))
+    assert g.num_nodes == 52
+    assert np.isfinite(g.x).all()
+
+
+def test_planetoid_missing_files_error(tmp_path):
+    with pytest.raises(FileNotFoundError, match="Planetoid raw files"):
+        load_planetoid("Pubmed", str(tmp_path))
+
+
+# ------------------------------------------------------------------- ogb --
+
+
+class _FakeOgbDataset:
+    """Minimal LinkPropPredDataset stand-in (hits + mrr variants)."""
+
+    def __init__(self, name, root=None):
+        self.name = name
+        rng = np.random.default_rng(0)
+        n = 60
+        ei = np.stack([np.arange(n), (np.arange(n) + 1) % n])
+        ei = np.concatenate([ei, ei[::-1]], axis=1).astype(np.int64)
+        self._graph = {"num_nodes": n, "edge_index": ei,
+                       "node_feat": rng.random((n, 4)).astype(np.float32),
+                       "edge_feat": np.ones((ei.shape[1], 1), np.float32)}
+        E = 30
+        pos = np.stack([rng.integers(0, n, E), rng.integers(0, n, E)], axis=1)
+        if "citation" in name:
+            self._split = {
+                "train": {"source_node": pos[:, 0], "target_node": pos[:, 1]},
+                "valid": {"source_node": pos[:10, 0],
+                          "target_node": pos[:10, 1],
+                          "target_node_neg": rng.integers(0, n, (10, 5))},
+                "test": {"source_node": pos[10:20, 0],
+                         "target_node": pos[10:20, 1],
+                         "target_node_neg": rng.integers(0, n, (10, 5))},
+            }
+        else:
+            years = np.concatenate([np.full(E // 2, 2005),
+                                    np.full(E - E // 2, 2015)])
+            self._split = {
+                "train": {"edge": pos, "weight": np.ones(E), "year": years},
+                "valid": {"edge": pos[:10], "weight": np.ones(10),
+                          "edge_neg": np.stack([rng.integers(0, n, 10),
+                                                rng.integers(0, n, 10)], 1)},
+                "test": {"edge": pos[10:20],
+                         "edge_neg": np.stack([rng.integers(0, n, 10),
+                                               rng.integers(0, n, 10)], 1)},
+            }
+
+    def get_edge_split(self):
+        return self._split
+
+    def __getitem__(self, i):
+        return self._graph
+
+
+@pytest.fixture
+def fake_ogb(monkeypatch):
+    mod = types.ModuleType("ogb")
+    sub = types.ModuleType("ogb.linkproppred")
+    sub.LinkPropPredDataset = _FakeOgbDataset
+    mod.linkproppred = sub
+    monkeypatch.setitem(sys.modules, "ogb", mod)
+    monkeypatch.setitem(sys.modules, "ogb.linkproppred", sub)
+
+
+def test_ogb_collab_path(fake_ogb, tmp_path):
+    cfg = Config(dataset_name="ogbl-collab", data_root=str(tmp_path), year=2010)
+    splits, directed, metric = get_data(cfg)
+    assert not directed and metric == "hits"
+    # collab rule: ONLY the test split sees validation edges in its graph
+    assert (splits["test"].graph.edge_index.shape[1]
+            > splits["valid"].graph.edge_index.shape[1])
+    assert len(splits["train"].neg_edges) == len(splits["train"].pos_edges)
+
+
+def test_ogb_citation2_path(fake_ogb, tmp_path):
+    cfg = Config(dataset_name="ogbl-citation2", data_root=str(tmp_path),
+                 num_negs=2)
+    splits, directed, metric = get_data(cfg)
+    assert directed and metric == "mrr"
+    tr = splits["train"]
+    # same-source negatives: sources repeat the positive sources
+    assert len(tr.neg_edges) == 2 * len(tr.pos_edges)
+    np.testing.assert_array_equal(tr.neg_edges[:, 0],
+                                  np.repeat(tr.pos_edges[:, 0], 2))
+    # eval negatives expand target_node_neg per positive
+    assert len(splits["valid"].neg_edges) == 50
