@@ -201,10 +201,12 @@ def pack_sketches(sk: Sketches, params: SketchParams) -> jnp.ndarray:
     """[n, K*(P + m/4)] uint32: per node, hops 1..K of (minhash lanes ‖
     byte-packed HLL registers), concatenated.
 
-    TPU gathers are descriptor-rate-bound (~100M rows/s on v5e), so feature
-    extraction gathers ONE wide combined row per link endpoint instead of
-    2*K narrow rows (minhash + hll per hop) — 4x fewer descriptors for K=2.
-    Pack once per sketch table; amortised over all link batches of a split.
+    Trades 2*K narrow gathers per endpoint for ONE wide one.  Measured on
+    v5e at default widths (K=2 -> 384-lane rows) this LOSES ~10%: gathers
+    are descriptor-rate-bound (~105M rows/s) only up to ~128 lanes, wide
+    rows drop to ~58M rows/s, and the unpack bitcasts add relayout copies.
+    Kept for narrow-sketch configs (K=1 or small num_perm/hll_p) where the
+    combined row stays within 128 lanes.
     """
     K = params.max_hops
     n = sk.minhash.shape[1]
@@ -263,29 +265,28 @@ def subgraph_features_batched(links, sk: Sketches, params: SketchParams,
     with power-of-two buckets tuned for TPU HBM: every batch (including the
     only one, for small splits) is padded to a power of two, so different
     splits/datasets share compiled programs instead of recompiling per link
-    count.  Uses the hop-packed single-gather path (pack_sketches) — the
-    packing cost is paid once here and amortised over all batches.
+    count.
+
+    Uses the per-hop gather path: the hop-packed single-gather variant
+    (subgraph_features_packed) measured SLOWER on v5e for the default
+    width (the [n, 384]-lane packed row gathers at ~58M rows/s vs ~105M
+    for <=128-lane rows, and the unpack bitcasts add relayout copies); it
+    remains available for narrower sketch configs.
     """
     n = links.shape[0]
     bucket = 1 << max(8, (max(1, min(n, batch_size)) - 1).bit_length())
     bucket = min(bucket, batch_size)
-    packed = _pack_sketches_jit(sk, params)
-    fn = _subgraph_features_packed_jit  # module-level: tables are traced
-    out = []                            # args, so splits share compilations
+    fn = _subgraph_features_jit  # module-level: sketches are traced args,
+    out = []                     # so splits/datasets share compilations
     for s in range(0, n, bucket):
         chunk = jnp.asarray(links[s:s + bucket])
         pad = bucket - chunk.shape[0]
         if pad:
             chunk = jnp.concatenate([chunk,
                                      jnp.zeros((pad, 2), dtype=chunk.dtype)])
-        res = fn(chunk, packed, sk.cards, params)
+        res = fn(chunk, sk, params)
         out.append(res[:bucket - pad] if pad else res)
     return jnp.concatenate(out, axis=0)[:n]
-
-
-@functools.partial(jax.jit, static_argnames=("params",))
-def _pack_sketches_jit(sk, params):
-    return pack_sketches(sk, params)
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
