@@ -120,6 +120,10 @@ class Config:
     seed: int = 0
     dtype: str = "float32"  # compute dtype for the MLP/conv path
     use_plan: bool = True  # padded-tree static reduction plan for segment ops
+    # bound the padded-tree gather intermediate to this many slot rows; plans
+    # bigger than this stream in chunks (ops/segment_scan.ChunkedSegmentPlan)
+    # so citation2-scale propagation fits one chip's HBM
+    max_gather_slots: int = 8 << 20
     mesh_shape: Optional[List[int]] = None  # e.g. [8] for 8-way data parallel
     mesh_axes: List[str] = field(default_factory=lambda: ["data"])
     checkpoint_dir: Optional[str] = None

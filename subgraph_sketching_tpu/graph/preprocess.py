@@ -60,7 +60,8 @@ class LinkDataset:
 
 def sign_features(x: np.ndarray, edge_index: np.ndarray,
                   edge_weight: Optional[np.ndarray], num_nodes: int,
-                  sign_k: int, use_plan: bool = True) -> np.ndarray:
+                  sign_k: int, use_plan: bool = True,
+                  max_gather_slots: Optional[int] = None) -> np.ndarray:
     """SIGN precompute (reference _generate_sign_features,
     src/datasets/elph.py:87-110): gcn_norm then sign_k=0 -> one propagation
     replacing x; sign_k>0 -> concat [x, Ax, ..., A^k x].
@@ -74,8 +75,9 @@ def sign_features(x: np.ndarray, edge_index: np.ndarray,
     xj = jnp.asarray(x)
 
     if use_plan:
-        from subgraph_sketching_tpu.ops.segment_scan import make_plan
-        plan = make_plan(np.asarray(nei), num_nodes)
+        from subgraph_sketching_tpu.ops.segment_scan import make_auto_plan
+        plan = make_auto_plan(np.asarray(nei), num_nodes,
+                              max_slots=max_gather_slots)
         wslots = plan.stage_edge_data(np.asarray(nw))
         prop = jax.jit(lambda v: plan.reduce(v, "add",
                                              edge_data_slots=wslots))
@@ -142,7 +144,8 @@ def build_link_dataset(split_data: SplitData, cfg: Config, split: str,
         if g.x is not None:
             t0 = time()
             x = sign_features(g.x, g.edge_index, g.edge_weight, g.num_nodes,
-                              cfg.sign_k, use_plan=cfg.use_plan)
+                              cfg.sign_k, use_plan=cfg.use_plan,
+                              max_gather_slots=cfg.max_gather_slots)
             if cfg.load_features and feat_cache:
                 np.savez(feat_cache, x=x)
 
@@ -184,8 +187,9 @@ def build_link_dataset(split_data: SplitData, cfg: Config, split: str,
             sketches = node_sharded_build_hash_tables(part, params, mesh,
                                                       mh0, hll0)
         else:
-            from subgraph_sketching_tpu.ops.segment_scan import make_plan
-            plan = (make_plan(g.edge_index, g.num_nodes)
+            from subgraph_sketching_tpu.ops.segment_scan import make_auto_plan
+            plan = (make_auto_plan(g.edge_index, g.num_nodes,
+                                   max_slots=cfg.max_gather_slots)
                     if cfg.use_plan else None)
             sketches = build_hash_tables(jnp.asarray(g.edge_index),
                                          g.num_nodes, params, plan=plan)

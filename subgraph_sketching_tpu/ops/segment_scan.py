@@ -123,6 +123,12 @@ class SortedSegmentPlan:
         return combine(x, agg)
 
 
+    def chunk(self, max_slots: int) -> "ChunkedSegmentPlan":
+        """Split the slot table into bounded-size chunks (see
+        ChunkedSegmentPlan) so the gathered intermediate never exceeds
+        ``max_slots`` rows — the citation2-scale memory path."""
+        return ChunkedSegmentPlan(self, max_slots)
+
     def reduce_sketches(self, mh: jnp.ndarray, hll: jnp.ndarray
                         ) -> tuple[jnp.ndarray, jnp.ndarray]:
         """Fused minhash-min + HLL-max propagation with ONE combined gather.
@@ -185,6 +191,132 @@ class SortedSegmentPlan:
         return out_mh, out_hll
 
 
+class ChunkedSegmentPlan:
+    """Bounded-memory execution of a SortedSegmentPlan.
+
+    ``SortedSegmentPlan.reduce`` materialises the gathered [S*L, W]
+    intermediate — ~18GB for a citation2-scale graph (36M slots x 512B
+    minhash rows), which does not fit one chip's HBM.  This plan splits the
+    slot table into chunks of at most ``max_slots`` slots (cut at sub-run
+    boundaries) and runs a ``lax.scan`` over them: per chunk one gather +
+    tree reduction + a segment reduce over the chunk's *contiguous
+    destination window* (the slot table is dst-sorted), merged into the
+    output with the combining op.  min/max/add are associative and (for
+    min/max) idempotent, so chunk boundaries — including a destination whose
+    sub-runs straddle two chunks — are exact.
+
+    Transient memory is max_slots x W rows instead of S*L x W.
+    """
+
+    def __init__(self, base: SortedSegmentPlan, max_slots: int):
+        self.base = base
+        self.num_segments = base.num_segments
+        L = base.sub_len
+        S = base.num_subruns
+        self.sub_len = L
+        if S == 0:
+            self.num_chunks = 0
+            return
+        per_chunk = max(1, max_slots // L)          # sub-runs per chunk
+        C = (S + per_chunk - 1) // per_chunk
+        self.num_chunks = C
+        gi = np.asarray(base.gather_idx).reshape(S, L)
+        sd = np.asarray(base.sub_dst)
+        n = base.num_segments
+        # pad sub-runs to C * per_chunk; padded rows gather the identity
+        # sentinel (row n) and reduce into a dummy local segment
+        padded = C * per_chunk
+        gi_p = np.full((padded, L), n, dtype=np.int32)
+        gi_p[:S] = gi
+        lo = np.zeros(C, dtype=np.int32)
+        sub_local = np.zeros((C, per_chunk), dtype=np.int32)
+        for c in range(C):
+            s0, s1 = c * per_chunk, min((c + 1) * per_chunk, S)
+            lo[c] = sd[s0] if s0 < S else n
+            sub_local[c, :s1 - s0] = sd[s0:s1] - lo[c]
+        # uniform destination-window size R (+1 dummy segment for padding)
+        R = 1
+        for c in range(C):
+            s0, s1 = c * per_chunk, min((c + 1) * per_chunk, S)
+            if s1 > s0:
+                R = max(R, int(sd[s1 - 1] - sd[s0]) + 1)
+        for c in range(C):  # pad tails -> dummy segment R
+            s0, s1 = c * per_chunk, min((c + 1) * per_chunk, S)
+            sub_local[c, s1 - s0:] = R
+        self.window = R
+        self.per_chunk = per_chunk
+        self.lo = jnp.asarray(lo)
+        self.gather_chunks = jnp.asarray(
+            gi_p.reshape(C, per_chunk * L))
+        self.sub_local = jnp.asarray(sub_local)
+        # slot -> original edge id per chunk (for stage_edge_data parity)
+        se = np.full((padded, L), len(base.order), dtype=np.int64)
+        se[:S] = np.asarray(base._slot_edge).reshape(S, L)
+        self._slot_edge_chunks = se.reshape(C, per_chunk * L)
+
+    def stage_edge_data(self, edge_data: np.ndarray) -> jnp.ndarray:
+        wz = np.concatenate([np.asarray(edge_data),
+                             np.zeros(1, dtype=np.asarray(edge_data).dtype)])
+        return jnp.asarray(wz[self._slot_edge_chunks])
+
+    def reduce(self, x: jnp.ndarray, op: str,
+               edge_data_slots: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """Same contract as SortedSegmentPlan.reduce (closed neighbourhood
+        for min/max; weighted sum over in-edges for add)."""
+        if self.num_chunks == 0:
+            return x if op != "add" else jnp.zeros_like(x)
+        combine = {"min": jnp.minimum, "max": jnp.maximum, "add": jnp.add}[op]
+        seg = {"min": jax.ops.segment_min, "max": jax.ops.segment_max,
+               "add": jax.ops.segment_sum}[op]
+        ident = _identity_for(op, np.dtype(x.dtype))
+        n = self.num_segments
+        R = self.window
+        rows = jnp.concatenate(
+            [x, jnp.full((1,) + x.shape[1:], ident, dtype=x.dtype)], axis=0)
+        # output padded so every [lo, lo+R) window is in range
+        out0 = jnp.full((n + R,) + x.shape[1:], ident, dtype=x.dtype)
+        if op == "add":
+            out0 = out0.at[:n].set(jnp.zeros_like(x))
+
+        def body(out, chunk):
+            gidx, slocal, lo, w = chunk
+            v = rows[gidx]                                  # [pc*L, W]
+            if w is not None:
+                v = v * w.reshape((-1,) + (1,) * (v.ndim - 1)).astype(v.dtype)
+            v = v.reshape((self.per_chunk, self.sub_len) + x.shape[1:])
+            half = self.sub_len
+            while half > 1:
+                half //= 2
+                v = combine(v[:, :half], v[:, half:2 * half])
+            part = seg(v[:, 0], slocal, num_segments=R + 1)[:R]
+            cur = jax.lax.dynamic_slice_in_dim(out, lo, R, axis=0)
+            return jax.lax.dynamic_update_slice_in_dim(
+                out, combine(cur, part), lo, axis=0), None
+
+        w_chunks = edge_data_slots if edge_data_slots is not None else None
+        chunks = (self.gather_chunks, self.sub_local, self.lo, w_chunks)
+        if w_chunks is None:
+            chunks = (self.gather_chunks, self.sub_local, self.lo)
+            out, _ = jax.lax.scan(
+                lambda o, c: body(o, (*c, None)), out0, chunks)
+        else:
+            out, _ = jax.lax.scan(body, out0, chunks)
+        out = out[:n]
+        if op == "add":
+            return out
+        return combine(x, out)
+
+
 def make_plan(edge_index: np.ndarray, num_nodes: int,
               sub_len: int = SUB_LEN) -> SortedSegmentPlan:
     return SortedSegmentPlan(np.asarray(edge_index), num_nodes, sub_len)
+
+
+def make_auto_plan(edge_index: np.ndarray, num_nodes: int,
+                   max_slots: Optional[int] = None, sub_len: int = SUB_LEN):
+    """Plan with bounded device memory: one-shot when the slot table fits
+    ``max_slots`` rows, chunk-streamed (ChunkedSegmentPlan) otherwise."""
+    plan = SortedSegmentPlan(np.asarray(edge_index), num_nodes, sub_len)
+    if max_slots and plan.num_subruns * plan.sub_len > max_slots:
+        return plan.chunk(max_slots)
+    return plan

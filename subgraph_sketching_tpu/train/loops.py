@@ -412,8 +412,10 @@ class ElphTrainer:
                     self.mesh, jnp.asarray(mh0), jnp.asarray(hll0),
                     mask=jnp.asarray(mask))
             else:
-                from subgraph_sketching_tpu.ops.segment_scan import make_plan
-                plan = (make_plan(ds.edge_index, ds.num_nodes)
+                from subgraph_sketching_tpu.ops.segment_scan import \
+                    make_auto_plan
+                plan = (make_auto_plan(ds.edge_index, ds.num_nodes,
+                                       max_slots=self.cfg.max_gather_slots)
                         if self.cfg.use_plan else None)
                 sketches = build_hash_tables(jnp.asarray(ei), ds.num_nodes,
                                              self.sketch_params, plan=plan)

@@ -30,6 +30,34 @@ def test_scan_plan_matches_scatter_min_max():
         np.testing.assert_array_equal(got, ref)
 
 
+def test_chunked_plan_matches_full():
+    """Bounded-memory chunked execution == one-shot plan, all ops,
+    including destinations whose sub-runs straddle chunk boundaries."""
+    rng = np.random.default_rng(7)
+    for n, deg, max_slots in [(100, 5, 64), (64, 40, 128), (200, 3, 48),
+                              (50, 8, 1 << 20)]:  # last: single chunk
+        e = n * deg
+        ei = np.stack([rng.integers(0, n, e),
+                       rng.integers(0, n, e)]).astype(np.int32)
+        x = rng.integers(0, 2 ** 32 - 1, (n, 16), dtype=np.uint32)
+        h = rng.integers(0, 50, (n, 8)).astype(np.int8)
+        f = rng.random((n, 8)).astype(np.float32)
+        w = rng.random(e).astype(np.float32)
+        plan = make_plan(ei, n, sub_len=8)
+        ck = plan.chunk(max_slots)
+        np.testing.assert_array_equal(
+            np.asarray(ck.reduce(jnp.asarray(x), "min")),
+            np.asarray(plan.reduce(jnp.asarray(x), "min")))
+        np.testing.assert_array_equal(
+            np.asarray(ck.reduce(jnp.asarray(h), "max")),
+            np.asarray(plan.reduce(jnp.asarray(h), "max")))
+        got = np.asarray(ck.reduce(jnp.asarray(f), "add",
+                                   edge_data_slots=ck.stage_edge_data(w)))
+        ref = np.asarray(plan.reduce(jnp.asarray(f), "add",
+                                     edge_data_slots=plan.stage_edge_data(w)))
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
 def test_scan_plan_spmm_matches_dense():
     rng = np.random.default_rng(1)
     n, e = 80, 400
