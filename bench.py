@@ -33,6 +33,12 @@ def make_graph(rng):
 
 
 def bench_tpu(src, dst, mh, hll):
+    """Times the fused one-hop program with a forced host read of a scalar
+    derived from BOTH outputs, then subtracts the measured roundtrip of a
+    trivial program.  Under the remote-TPU relay, ``block_until_ready``
+    timing absorbs a ~30ms dispatch/sync roundtrip per sample (and for some
+    programs returns early), so device-side timing alone is untrustworthy;
+    the host-read-net methodology is robust to both failure modes."""
     import jax
     import jax.numpy as jnp
 
@@ -42,19 +48,30 @@ def bench_tpu(src, dst, mh, hll):
     mhj, hllj = jnp.asarray(mh), jnp.asarray(hll)
 
     @jax.jit
-    def one_hop(mh, hll):
-        return plan.reduce(mh, "min"), plan.reduce(hll, "max")
+    def trivial(mh):
+        return mh[0, 0].astype(jnp.float32)
 
-    for _ in range(WARMUP):
-        out = one_hop(mhj, hllj)
-        jax.block_until_ready(out)
-    times = []
-    for _ in range(ITERS):
-        t0 = time.perf_counter()
-        out = one_hop(mhj, hllj)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    return len(src) / min(times)
+    @jax.jit
+    def one_hop_scalar(mh, hll):
+        a = plan.reduce(mh, "min")
+        b = plan.reduce(hll, "max")
+        return a.sum(dtype=jnp.uint32).astype(jnp.float32) + \
+            b.sum(dtype=jnp.int32).astype(jnp.float32)
+
+    def timed(fn, *args):
+        for _ in range(WARMUP):
+            float(fn(*args))
+        ts = []
+        for _ in range(ITERS):
+            t0 = time.perf_counter()
+            float(fn(*args))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t_trivial = timed(trivial, mhj)
+    t_hop = timed(one_hop_scalar, mhj, hllj)
+    net = max(t_hop - t_trivial, 1e-9)
+    return len(src) / net
 
 
 def bench_torch_cpu(src, dst, mh, hll):

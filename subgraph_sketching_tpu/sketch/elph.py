@@ -102,11 +102,14 @@ def _pairwise_intersections(links: jnp.ndarray, sk: Sketches,
     """
     K = params.max_hops
     u, v = links[:, 0], links[:, 1]
-    # [K, B, P] / [K, B, m] gathers of hop 1..K rows
-    mh_u = sk.minhash[1:, u, :]
-    mh_v = sk.minhash[1:, v, :]
-    hll_u = sk.hll[1:, u, :]
-    hll_v = sk.hll[1:, v, :]
+    # [K, B, P] / [K, B, m] gathers of hop 1..K rows.  The stack normally
+    # holds hops 0..K; a K-row stack (hops 1..K only, hop 0 dropped to save
+    # HBM at citation2 scale) is accepted too — slice start adapts.
+    s = sk.minhash.shape[0] - K
+    mh_u = sk.minhash[s:, u, :]
+    mh_v = sk.minhash[s:, v, :]
+    hll_u = sk.hll[s:, u, :]
+    hll_v = sk.hll[s:, v, :]
 
     jac = jaccard(mh_u[:, None], mh_v[None, :])            # [K, K, B]
     unions = jnp.maximum(hll_u[:, None], hll_v[None, :])   # [K, K, B, m]
@@ -211,11 +214,12 @@ def pack_sketches(sk: Sketches, params: SketchParams) -> jnp.ndarray:
     K = params.max_hops
     n = sk.minhash.shape[1]
     m = sk.hll.shape[2]
+    s = sk.minhash.shape[0] - K  # 1 for hops 0..K stacks, 0 for hops-only
     parts = []
-    for k in range(1, K + 1):
-        parts.append(sk.minhash[k])
+    for k in range(K):
+        parts.append(sk.minhash[s + k])
         parts.append(jax.lax.bitcast_convert_type(
-            sk.hll[k].reshape(n, m // 4, 4), jnp.uint32))
+            sk.hll[s + k].reshape(n, m // 4, 4), jnp.uint32))
     return jnp.concatenate(parts, axis=1)
 
 

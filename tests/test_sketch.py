@@ -61,6 +61,22 @@ def test_packed_features_match_unpacked(ba_graph):
     np.testing.assert_array_equal(got, ref)
 
 
+def test_hops_only_stack_matches_full(ba_graph):
+    """A K-row sketch stack (hop 0 dropped — the citation2-scale memory
+    path) produces identical features to the full 0..K stack."""
+    from subgraph_sketching_tpu.sketch.params import Sketches
+    n = 30
+    params = SketchParams(max_hops=2)
+    sk = build_hash_tables(jnp.asarray(ba_graph), n, params)
+    links = jnp.asarray(np.stack([np.arange(16), (np.arange(16) * 5 + 2) % n],
+                                 axis=1).astype(np.int32))
+    ref = np.asarray(subgraph_features(links, sk, params))
+    sk_hops = Sketches(minhash=sk.minhash[1:], hll=sk.hll[1:],
+                       cards=sk.cards)
+    got = np.asarray(subgraph_features(links, sk_hops, params))
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_splitmix64_matches_pandas():
     from pandas.util import hash_array
     a = np.arange(1, 1001, dtype=np.int64)
