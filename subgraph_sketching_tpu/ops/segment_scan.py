@@ -25,9 +25,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-SUB_LEN = 8  # slots per sub-run (power of two; 8 won the v5e sweep —
-             # bigger values raise padding blowup faster than they cut the
-             # final scatter)
+SUB_LEN = 16  # slots per sub-run (power of two).  v5e sweep with the
+              # axis-reduce form (tools/probe_sublen.py, 3.2M edges,
+              # net-of-roundtrip): L=4 48.9 / L=8 76.8 / L=16 80.2 /
+              # L=32 71.5 M e/s — larger L shrinks the segment reduce
+              # faster than slot padding grows, until L=32
 
 
 def _identity_for(op: str, dtype) -> np.generic:
@@ -108,11 +110,11 @@ class SortedSegmentPlan:
             w = edge_data_slots
             v = v * w.reshape((-1,) + (1,) * (v.ndim - 1)).astype(v.dtype)
         v = v.reshape((self.num_subruns, self.sub_len) + x.shape[1:])
-        half = self.sub_len
-        while half > 1:
-            half //= 2
-            v = combine(v[:, :half], v[:, half:2 * half])
-        v = v[:, 0]                                     # [S, W]
+        # single reduce over the slot axis: XLA fuses it with the gather
+        # producer (measured 12% faster than an explicit binary slice-tree,
+        # which materialises every level)
+        red = {"min": jnp.min, "max": jnp.max, "add": jnp.sum}[op]
+        v = red(v, axis=1)                              # [S, W]
         seg = {"min": jax.ops.segment_min, "max": jax.ops.segment_max,
                "add": jax.ops.segment_sum}[op]
         agg = seg(v, self.sub_dst, num_segments=self.num_segments)
@@ -284,11 +286,8 @@ class ChunkedSegmentPlan:
             if w is not None:
                 v = v * w.reshape((-1,) + (1,) * (v.ndim - 1)).astype(v.dtype)
             v = v.reshape((self.per_chunk, self.sub_len) + x.shape[1:])
-            half = self.sub_len
-            while half > 1:
-                half //= 2
-                v = combine(v[:, :half], v[:, half:2 * half])
-            part = seg(v[:, 0], slocal, num_segments=R + 1)[:R]
+            red = {"min": jnp.min, "max": jnp.max, "add": jnp.sum}[op]
+            part = seg(red(v, axis=1), slocal, num_segments=R + 1)[:R]
             cur = jax.lax.dynamic_slice_in_dim(out, lo, R, axis=0)
             return jax.lax.dynamic_update_slice_in_dim(
                 out, combine(cur, part), lo, axis=0), None
