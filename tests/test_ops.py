@@ -58,6 +58,21 @@ def test_chunked_plan_matches_full():
         np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
 
 
+def test_auto_plan_threshold():
+    from subgraph_sketching_tpu.ops.segment_scan import (
+        ChunkedSegmentPlan, SortedSegmentPlan, make_auto_plan)
+    rng = np.random.default_rng(0)
+    n, e = 100, 500
+    ei = np.stack([rng.integers(0, n, e),
+                   rng.integers(0, n, e)]).astype(np.int32)
+    assert isinstance(make_auto_plan(ei, n, max_slots=None),
+                      SortedSegmentPlan)
+    assert isinstance(make_auto_plan(ei, n, max_slots=1 << 30),
+                      SortedSegmentPlan)
+    assert isinstance(make_auto_plan(ei, n, max_slots=64),
+                      ChunkedSegmentPlan)
+
+
 def test_scan_plan_spmm_matches_dense():
     rng = np.random.default_rng(1)
     n, e = 80, 400
