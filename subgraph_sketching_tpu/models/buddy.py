@@ -38,6 +38,7 @@ class BUDDY(nn.Module):
     label_dropout: float = 0.5
     feature_dropout: float = 0.5
     sign_dropout: float = 0.5
+    dtype: Optional[jnp.dtype] = None  # compute dtype; logits return f32
 
     def _append_degree_normalised(self, x, src_degree, dst_degree):
         """x ⊕ x/sqrt(d_src * d_dst) with 0/0 -> 0
@@ -55,8 +56,8 @@ class BUDDY(nn.Module):
             sf = self._append_degree_normalised(sf, src_degree, dst_degree)
         dim = self.sf_dim * 2 if self.append_normalised else self.sf_dim
 
-        x = nn.Dense(dim, name="label_lin_layer")(sf)
-        x = batch_norm(training, name="bn_labels")(x)
+        x = nn.Dense(dim, name="label_lin_layer", dtype=self.dtype)(sf)
+        x = batch_norm(training, name="bn_labels", dtype=self.dtype)(x)
         x = nn.relu(x)
         x = nn.Dropout(self.label_dropout, deterministic=not training)(x)
 
@@ -64,29 +65,34 @@ class BUDDY(nn.Module):
             # (reference feature_forward, src/models/elph.py:295-311)
             if self.sign_k != 0:
                 h = SIGN(self.hidden_channels, self.hidden_channels,
-                         self.sign_k, self.sign_dropout, name="sign")(
-                             node_features, training=training)
+                         self.sign_k, self.sign_dropout, name="sign",
+                         dtype=self.dtype)(node_features, training=training)
             else:
-                h = nn.Dense(self.hidden_channels, name="lin_feat")(node_features)
+                h = nn.Dense(self.hidden_channels, name="lin_feat",
+                             dtype=self.dtype)(node_features)
             h = h[:, 0, :] * h[:, 1, :]
-            h = nn.Dense(self.hidden_channels, name="lin_out")(h)
-            h = batch_norm(training, name="bn_feats")(h)
+            h = nn.Dense(self.hidden_channels, name="lin_out",
+                         dtype=self.dtype)(h)
+            h = batch_norm(training, name="bn_feats", dtype=self.dtype)(h)
             h = nn.relu(h)
             h = nn.Dropout(self.feature_dropout, deterministic=not training)(h)
-            x = jnp.concatenate([x, h.astype(jnp.float32)], axis=1)
+            x = jnp.concatenate([x, h.astype(x.dtype)], axis=1)
 
         if self.use_embedding and emb is not None:
             # (reference embedding_forward, src/models/elph.py:313-322)
-            e = nn.Dense(self.hidden_channels, name="lin_emb")(emb)
+            e = nn.Dense(self.hidden_channels, name="lin_emb",
+                         dtype=self.dtype)(emb)
             e = e[:, 0, :] * e[:, 1, :]
-            e = nn.Dense(self.hidden_channels, name="lin_emb_out")(e)
-            e = batch_norm(training, name="bn_embs")(e)
+            e = nn.Dense(self.hidden_channels, name="lin_emb_out",
+                         dtype=self.dtype)(e)
+            e = batch_norm(training, name="bn_embs", dtype=self.dtype)(e)
             e = nn.relu(e)
             e = nn.Dropout(self.feature_dropout, deterministic=not training)(e)
-            x = jnp.concatenate([x, e.astype(jnp.float32)], axis=1)
+            x = jnp.concatenate([x, e.astype(x.dtype)], axis=1)
 
         if self.use_RA and RA is not None:
-            ra = batch_norm(training, name="bn_RA")(RA[:, None])
+            ra = batch_norm(training, name="bn_RA", dtype=self.dtype)(
+                RA[:, None].astype(x.dtype))
             x = jnp.concatenate([x, ra], axis=1)
 
-        return nn.Dense(1, name="lin")(x)
+        return nn.Dense(1, name="lin", dtype=self.dtype)(x).astype(jnp.float32)

@@ -40,6 +40,7 @@ class ELPH(nn.Module):
     use_feature: bool = True
     feature_prop: str = "gcn"
     feature_dropout: float = 0.5
+    dtype: Optional[jnp.dtype] = None  # compute dtype for the feature convs
 
     @nn.compact
     def __call__(self, x, edge_index, num_nodes: int,
@@ -57,7 +58,8 @@ class ELPH(nn.Module):
         norm = gcn_norm(edge_index, edge_weight, num_nodes, mask)
 
         if self.use_feature and self.feature_prop in ("residual", "cat"):
-            x = nn.Dense(self.hidden_channels, name="feature_encoder")(x)
+            x = nn.Dense(self.hidden_channels, name="feature_encoder",
+                         dtype=self.dtype)(x)
             x = nn.Dropout(self.feature_dropout, deterministic=not training)(x)
 
         mhs, hlls, cards = [init_minhash], [init_hll], []
@@ -69,7 +71,8 @@ class ELPH(nn.Module):
                 hlls.append(propagate_hll(hlls[-1], src, dst, num_nodes, mask))
                 cards.append(hll_count(hlls[-1], p.hll_p))
             if self.use_feature:
-                out = GCNConv(self.hidden_channels, name=f"conv_{k - 1}")(
+                out = GCNConv(self.hidden_channels, name=f"conv_{k - 1}",
+                              dtype=self.dtype)(
                     x, edge_index, num_nodes, norm=norm)
                 out = nn.Dropout(self.feature_dropout,
                                  deterministic=not training)(out)
@@ -94,14 +97,16 @@ class ELPHPredictor(nn.Module):
     feature_prop: str = "gcn"
     label_dropout: float = 0.5
     feature_dropout: float = 0.5
+    dtype: Optional[jnp.dtype] = None
 
     def setup(self):
         self.gnn = ELPH(self.sketch_params, self.hidden_channels,
                         self.use_feature, self.feature_prop,
-                        self.feature_dropout)
+                        self.feature_dropout, self.dtype)
         self.predictor = LinkPredictor(
             self.sketch_params.sf_dim, self.hidden_channels, self.use_feature,
-            self.use_embedding, self.label_dropout, self.feature_dropout)
+            self.use_embedding, self.label_dropout, self.feature_dropout,
+            self.dtype)
 
     def __call__(self, x, edge_index, num_nodes, init_minhash, init_hll,
                  links, edge_weight=None, mask=None, emb=None,

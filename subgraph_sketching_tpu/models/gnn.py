@@ -20,9 +20,13 @@ BN_MOMENTUM = 0.9
 BN_EPS = 1e-5
 
 
-def batch_norm(training: bool, name: Optional[str] = None) -> nn.BatchNorm:
+def batch_norm(training: bool, name: Optional[str] = None,
+               dtype=None) -> nn.BatchNorm:
+    # params/stats stay float32 (flax param_dtype default); ``dtype`` only
+    # sets the compute dtype, so bf16 training keeps f32 running stats
     return nn.BatchNorm(use_running_average=not training,
-                        momentum=BN_MOMENTUM, epsilon=BN_EPS, name=name)
+                        momentum=BN_MOMENTUM, epsilon=BN_EPS, name=name,
+                        dtype=dtype)
 
 
 class GCNConv(nn.Module):
@@ -32,6 +36,7 @@ class GCNConv(nn.Module):
     out_channels: int
     add_self_loops: bool = True
     use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None  # compute dtype (bf16 puts XW on MXU)
 
     @nn.compact
     def __call__(self, x, edge_index, num_nodes: int,
@@ -39,7 +44,7 @@ class GCNConv(nn.Module):
                  mask: Optional[jnp.ndarray] = None,
                  norm: Optional[tuple] = None):
         # XW first (dense matmul on the MXU), then sparse propagation
-        x = nn.Dense(self.out_channels, use_bias=False,
+        x = nn.Dense(self.out_channels, use_bias=False, dtype=self.dtype,
                      kernel_init=nn.initializers.glorot_uniform())(x)
         if norm is None:
             ei, w, m = gcn_norm(edge_index, edge_weight, num_nodes, mask,
@@ -130,20 +135,23 @@ class SIGN(nn.Module):
     out_channels: int
     K: int
     dropout: float
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, xs, *, training: bool = False):
         blocks = jnp.split(xs, self.K + 1, axis=-1)
         hs = []
         for k, x in enumerate(blocks):
-            h = nn.Dense(self.hidden_channels, name=f"lin_{k}")(x)
-            bn = batch_norm(training, name=f"bn_{k}")
+            h = nn.Dense(self.hidden_channels, name=f"lin_{k}",
+                         dtype=self.dtype)(x)
+            bn = batch_norm(training, name=f"bn_{k}", dtype=self.dtype)
             h = jnp.stack([bn(h[:, 0, :]), bn(h[:, 1, :])], axis=1)
             h = nn.relu(h)
             h = nn.Dropout(self.dropout, deterministic=not training)(h)
             hs.append(h)
         h = jnp.concatenate(hs, axis=-1)
-        return nn.Dense(self.out_channels, name="lin_out")(h)
+        return nn.Dense(self.out_channels, name="lin_out",
+                        dtype=self.dtype)(h)
 
 
 class SIGNEmbedding(nn.Module):

@@ -282,6 +282,8 @@ def subgraph_features_batched(links, sk: Sketches, params: SketchParams,
     bucket = min(bucket, batch_size)
     fn = _subgraph_features_jit  # module-level: sketches are traced args,
     out = []                     # so splits/datasets share compilations
+    # dispatch every batch before materialising any result: batches overlap
+    # in the device queue instead of paying a host sync per batch
     for s in range(0, n, bucket):
         chunk = jnp.asarray(links[s:s + bucket])
         pad = bucket - chunk.shape[0]
@@ -290,7 +292,7 @@ def subgraph_features_batched(links, sk: Sketches, params: SketchParams,
                                      jnp.zeros((pad, 2), dtype=chunk.dtype)])
         res = fn(chunk, sk, params)
         out.append(res[:bucket - pad] if pad else res)
-    return jnp.concatenate(out, axis=0)[:n]
+    return jnp.concatenate(out, axis=0)[:n] if len(out) > 1 else out[0][:n]
 
 
 @functools.partial(jax.jit, static_argnames=("params",))

@@ -41,6 +41,18 @@ class TrainState(NamedTuple):
     opt_state: Any
 
 
+def _dtype_from_cfg(cfg: Config):
+    """cfg.dtype -> flax compute dtype (None = default float32 path).
+
+    bfloat16 puts the Dense/conv matmuls on the MXU at half the HBM traffic;
+    params, BN running stats, and optimizer state stay float32 (flax
+    param_dtype default), and every model casts its logits back to f32.
+    """
+    if cfg.dtype in (None, "float32", "f32"):
+        return None
+    return jnp.dtype(cfg.dtype)
+
+
 def _mesh_from_cfg(cfg: Config):
     if not cfg.mesh_shape:
         return None
@@ -173,6 +185,7 @@ class BuddyTrainer:
             label_dropout=cfg.label_dropout,
             feature_dropout=cfg.feature_dropout,
             sign_dropout=cfg.sign_dropout,
+            dtype=_dtype_from_cfg(cfg),
         )
         self.model = BuddyWithEmbedding(
             buddy=buddy, num_nodes=dataset.num_nodes,
@@ -369,10 +382,12 @@ class ElphTrainer:
         self.use_embedding = cfg.train_node_embedding
         self.num_nodes = dataset.num_nodes
         self.gnn = ELPH(sketch_params, cfg.hidden_channels, use_feature,
-                        cfg.feature_prop, cfg.feature_dropout)
+                        cfg.feature_prop, cfg.feature_dropout,
+                        _dtype_from_cfg(cfg))
         self.predictor = LinkPredictor(
             sketch_params.sf_dim, cfg.hidden_channels, use_feature,
-            self.use_embedding, cfg.label_dropout, cfg.feature_dropout)
+            self.use_embedding, cfg.label_dropout, cfg.feature_dropout,
+            _dtype_from_cfg(cfg))
         self.optimizer = make_optimizer(cfg)
         self.loss_fn = get_loss(cfg.loss)
         # DP over the link batch; with "graph"/"lane" mesh axes the sketch
