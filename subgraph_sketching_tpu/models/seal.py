@@ -9,6 +9,8 @@ vectorised per-graph top-k — no torch_scatter segment machinery.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -88,6 +90,7 @@ class SEALMLP(nn.Module):
     emb_dim: int
     dropout: float = 0.5
     pooling: str = "add"
+    dtype: Optional[jnp.dtype] = None  # compute dtype; logits return f32
 
     @nn.compact
     def __call__(self, batch, *, training: bool = False):
@@ -95,9 +98,9 @@ class SEALMLP(nn.Module):
         x = x * batch["node_mask"][..., None]
         x = (global_add_pool(x, batch["node_mask"]) if self.pooling == "add"
              else global_mean_pool(x, batch["node_mask"]))
-        x = nn.relu(nn.Dense(self.emb_dim)(x))
+        x = nn.relu(nn.Dense(self.emb_dim, dtype=self.dtype)(x))
         x = nn.Dropout(self.dropout, deterministic=not training)(x)
-        return nn.Dense(1)(x)
+        return nn.Dense(1, dtype=self.dtype)(x).astype(jnp.float32)
 
 
 class _SealBase(nn.Module):
@@ -106,6 +109,7 @@ class _SealBase(nn.Module):
     max_z: int
     use_feature: bool = False
     dropout: float = 0.5
+    dtype: Optional[jnp.dtype] = None  # compute dtype; logits return f32
 
     def embed_inputs(self, batch):
         # clamp labels into the embedding table: disconnected node pairs can
@@ -114,7 +118,7 @@ class _SealBase(nn.Module):
         # it, reference run.py:192)
         z = jnp.minimum(batch["z"], self.max_z - 1)
         z_emb = nn.Embed(self.max_z, self.hidden_channels,
-                         name="z_embedding")(z)
+                         name="z_embedding", dtype=self.dtype)(z)
         if z_emb.ndim == 4:  # multi-label z (DE): sum the label embeddings
             z_emb = z_emb.sum(axis=2)
         x = z_emb
@@ -133,7 +137,7 @@ class SEALGCN(_SealBase):
         x = self.embed_inputs(batch)
         for li in range(self.num_layers):
             x = nn.Dense(self.hidden_channels, use_bias=True,
-                         name=f"conv_dense_{li}")(x)
+                         name=f"conv_dense_{li}", dtype=self.dtype)(x)
             x = batched_gcn_prop(x, batch["edge_index"], batch["edge_weight"],
                                  batch["edge_mask"], batch["node_mask"])
             if li < self.num_layers - 1:
@@ -143,9 +147,11 @@ class SEALGCN(_SealBase):
             h = _center_pool(x)
         else:
             h = global_add_pool(x, batch["node_mask"])
-        h = nn.relu(nn.Dense(self.hidden_channels, name="lin1")(h))
+        h = nn.relu(nn.Dense(self.hidden_channels, name="lin1",
+                             dtype=self.dtype)(h))
         h = nn.Dropout(self.dropout, deterministic=not training)(h)
-        return nn.Dense(1, name="lin2")(h)
+        return nn.Dense(1, name="lin2",
+                        dtype=self.dtype)(h).astype(jnp.float32)
 
 
 class SEALSAGE(_SealBase):
@@ -157,16 +163,19 @@ class SEALSAGE(_SealBase):
         for li in range(self.num_layers):
             agg = batched_mean_agg(x, batch["edge_index"], batch["edge_mask"],
                                    batch["node_mask"])
-            x = (nn.Dense(self.hidden_channels, name=f"sage_n_{li}")(agg)
+            x = (nn.Dense(self.hidden_channels, name=f"sage_n_{li}",
+                          dtype=self.dtype)(agg)
                  + nn.Dense(self.hidden_channels, use_bias=False,
-                            name=f"sage_r_{li}")(x))
+                            name=f"sage_r_{li}", dtype=self.dtype)(x))
             if li < self.num_layers - 1:
                 x = nn.relu(x)
                 x = nn.Dropout(self.dropout, deterministic=not training)(x)
         h = _center_pool(x)
-        h = nn.relu(nn.Dense(self.hidden_channels, name="lin1")(h))
+        h = nn.relu(nn.Dense(self.hidden_channels, name="lin1",
+                             dtype=self.dtype)(h))
         h = nn.Dropout(self.dropout, deterministic=not training)(h)
-        return nn.Dense(1, name="lin2")(h)
+        return nn.Dense(1, name="lin2",
+                        dtype=self.dtype)(h).astype(jnp.float32)
 
 
 class SEALGIN(_SealBase):
@@ -185,17 +194,21 @@ class SEALGIN(_SealBase):
             eps = (self.param(f"eps_{li}", nn.initializers.zeros, ())
                    if self.train_eps else 0.0)
             h = (1.0 + eps) * x + agg
-            h = nn.relu(nn.Dense(self.hidden_channels, name=f"gin_a_{li}")(h))
-            h = nn.relu(nn.Dense(self.hidden_channels, name=f"gin_b_{li}")(h))
-            h = batch_norm(training, name=f"gin_bn_{li}")(
+            h = nn.relu(nn.Dense(self.hidden_channels, name=f"gin_a_{li}",
+                                 dtype=self.dtype)(h))
+            h = nn.relu(nn.Dense(self.hidden_channels, name=f"gin_b_{li}",
+                                 dtype=self.dtype)(h))
+            h = batch_norm(training, name=f"gin_bn_{li}", dtype=self.dtype)(
                 h.reshape(-1, h.shape[-1])).reshape(h.shape)
             x = h * batch["node_mask"][..., None]
             xs.append(x)
         h = jnp.concatenate(xs, axis=-1) if self.jk else xs[-1]
         h = global_mean_pool(h, batch["node_mask"])
-        h = nn.relu(nn.Dense(self.hidden_channels, name="lin1")(h))
+        h = nn.relu(nn.Dense(self.hidden_channels, name="lin1",
+                             dtype=self.dtype)(h))
         h = nn.Dropout(self.dropout, deterministic=not training)(h)
-        return nn.Dense(1, name="lin2")(h)
+        return nn.Dense(1, name="lin2",
+                        dtype=self.dtype)(h).astype(jnp.float32)
 
 
 class SEALDGCNN(_SealBase):
@@ -210,7 +223,7 @@ class SEALDGCNN(_SealBase):
         xs = []
         dims = [self.hidden_channels] * (self.num_layers - 0) + [1]
         for li, dim in enumerate(dims):
-            x = nn.Dense(dim, name=f"conv_dense_{li}")(x)
+            x = nn.Dense(dim, name=f"conv_dense_{li}", dtype=self.dtype)(x)
             x = batched_gcn_prop(x, batch["edge_index"], batch["edge_weight"],
                                  batch["edge_mask"], batch["node_mask"])
             x = jnp.tanh(x)
@@ -220,13 +233,15 @@ class SEALDGCNN(_SealBase):
         _, pooled = global_sort_pool(x, batch["node_mask"], self.k)  # [B,k,D]
         # conv1d(1, 16, kernel=D, stride=D) over the flattened row == a
         # per-node Dense(16); maxpool(2,2) over nodes; conv1d(16, 32, 5)
-        h = nn.Dense(16, name="conv1")(pooled)               # [B, k, 16]
+        h = nn.Dense(16, name="conv1", dtype=self.dtype)(pooled)  # [B, k, 16]
         h = nn.relu(h)
         B, k, c = h.shape
         h = h[:, : (k // 2) * 2, :].reshape(B, k // 2, 2, c).max(axis=2)
-        h = nn.Conv(32, kernel_size=(5,), padding="VALID", name="conv2")(h)
+        h = nn.Conv(32, kernel_size=(5,), padding="VALID", name="conv2",
+                    dtype=self.dtype)(h)
         h = nn.relu(h)
         h = h.reshape(B, -1)
-        h = nn.relu(nn.Dense(128, name="lin1")(h))
+        h = nn.relu(nn.Dense(128, name="lin1", dtype=self.dtype)(h))
         h = nn.Dropout(0.5, deterministic=not training)(h)
-        return nn.Dense(1, name="lin2")(h)
+        return nn.Dense(1, name="lin2",
+                        dtype=self.dtype)(h).astype(jnp.float32)

@@ -42,10 +42,12 @@ def _dgcnn_k(dataset: SEALDataset, sortpool_k: float) -> int:
 
 def build_seal_model(cfg: Config, train_dataset: SEALDataset,
                      num_features: Optional[int]):
+    from subgraph_sketching_tpu.train.loops import _dtype_from_cfg
     use_feature = cfg.use_feature and train_dataset.x is not None
     common = dict(hidden_channels=cfg.hidden_channels,
                   num_layers=cfg.num_seal_layers, max_z=cfg.max_z,
-                  use_feature=use_feature, dropout=cfg.dropout)
+                  use_feature=use_feature, dropout=cfg.dropout,
+                  dtype=_dtype_from_cfg(cfg))
     if cfg.model == "SEALDGCNN":
         return SEALDGCNN(**common, k=_dgcnn_k(train_dataset, cfg.sortpool_k))
     if cfg.model == "SEALGCN":

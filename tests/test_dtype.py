@@ -78,6 +78,36 @@ def test_elph_gcn_bf16_matches_f32():
                                np.asarray(o32), rtol=0.1, atol=0.1)
 
 
+def test_seal_dgcnn_bf16_matches_f32():
+    from subgraph_sketching_tpu.graph.container import Graph
+    from subgraph_sketching_tpu.graph.seal import SEALDataset
+    from subgraph_sketching_tpu.models.seal import SEALDGCNN
+    from subgraph_sketching_tpu.graph.synthetic import barabasi_albert_graph
+
+    ei = barabasi_albert_graph(30, 3, seed=1)
+    g = Graph(ei, 30, x=np.eye(30, dtype=np.float32))
+    pos = np.array([[0, 1], [4, 5]])
+    neg = np.array([[1, 5], [2, 6]])
+    ds = SEALDataset(g, pos, neg, num_hops=1, max_nodes=30, max_edges=128,
+                     max_dist=10)
+    raw = ds.batch(np.arange(4))
+    batch = {"z": jnp.asarray(raw.z), "node_mask": jnp.asarray(raw.node_mask),
+             "edge_index": jnp.asarray(raw.edge_index),
+             "edge_weight": jnp.asarray(raw.edge_weight),
+             "edge_mask": jnp.asarray(raw.edge_mask),
+             "x": jnp.asarray(raw.x)}
+    rng = jax.random.PRNGKey(0)
+    f32 = SEALDGCNN(hidden_channels=8, num_layers=2, max_z=100, k=10)
+    bf16 = SEALDGCNN(hidden_channels=8, num_layers=2, max_z=100, k=10,
+                     dtype=jnp.bfloat16)
+    var = f32.init({"params": rng, "dropout": rng}, batch, training=False)
+    out32 = f32.apply(var, batch, training=False)
+    out16 = bf16.apply(var, batch, training=False)
+    assert out16.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(out16), np.asarray(out32),
+                               rtol=0.05, atol=0.05)
+
+
 def test_buddy_trainer_bf16_end_to_end():
     """cfg.dtype='bfloat16' trains and evaluates; loss finite and learning."""
     from subgraph_sketching_tpu.graph.datasets import get_data
