@@ -309,7 +309,9 @@ class BuddyTrainer:
             (state, _), losses = jax.lax.scan(step, (state, rng), perm)
             return state, losses
 
-        return jax.jit(epoch)
+        # donate the input TrainState: params/opt_state buffers are consumed
+        # by the update, so XLA reuses them in place (halves peak state HBM)
+        return jax.jit(epoch, donate_argnums=(0,))
 
     def _predict_fn(self):
         def predict(state: TrainState, data, idx):
@@ -548,7 +550,9 @@ class ElphTrainer:
             (state, _), losses = jax.lax.scan(step, (state, rng), perm)
             return state, losses
 
-        return jax.jit(epoch)
+        # donate the input TrainState: params/opt_state buffers are consumed
+        # by the update, so XLA reuses them in place (halves peak state HBM)
+        return jax.jit(epoch, donate_argnums=(0,))
 
     def num_links(self, split: str) -> int:
         return int(self._data[split]["links"].shape[0])

@@ -32,9 +32,9 @@ from subgraph_sketching_tpu.graph.preprocess import build_link_dataset
 from subgraph_sketching_tpu.train.loops import BuddyTrainer
 
 
-def run(dtype):
+def run(dtype, hidden=256):
     cfg = Config(dataset_name="synth-ba-large", model="BUDDY",
-                 hidden_channels=256, batch_size=131072, lr=0.001,
+                 hidden_channels=hidden, batch_size=131072, lr=0.001,
                  dtype=dtype)
     splits, _, _ = get_data(cfg)
     ds = build_link_dataset(splits["train"], cfg, "train")
@@ -51,12 +51,16 @@ def run(dtype):
         loss = float(loss)
         times.append(time.perf_counter() - t0)
     best = min(times)
-    log(f"{dtype:>9}: {n_links} links, best epoch {best*1e3:8.2f} ms "
-        f"-> {n_links/best/1e6:6.2f} M links/s (loss {loss:.4f})")
+    log(f"{dtype:>9} h={hidden:<5}: {n_links} links, best epoch "
+        f"{best*1e3:8.2f} ms -> {n_links/best/1e6:6.2f} M links/s "
+        f"(loss {loss:.4f})")
     return n_links / best
 
 
-f32 = run("float32")
-bf16 = run("bfloat16")
-log(f">> bf16 speedup: {bf16/f32:.2f}x")
+import sys as _sys
+hiddens = [int(h) for h in _sys.argv[1:]] or [256]
+for h in hiddens:
+    f32 = run("float32", h)
+    bf16 = run("bfloat16", h)
+    log(f">> h={h}: bf16 speedup {bf16/f32:.2f}x")
 log("done probe_train_dtype")
