@@ -129,14 +129,16 @@ def run(cfg: Config):
             # structured tracing (the reference has wall-clock prints only,
             # SURVEY.md §5); epoch 1 is traced so compile noise from epoch 0
             # stays out of the profile
+            # distinct per-rep stream: the epoch key seeds the on-device
+            # shuffle and dropout, so reps must not share it
+            epoch_key = jax.random.fold_in(jax.random.PRNGKey(rep), epoch)
             if cfg.profile_dir and epoch == 1 and rep == 0:
                 with jax.profiler.trace(cfg.profile_dir):
-                    state, loss = trainer.train_epoch(
-                        state, host_rng, jax.random.PRNGKey(epoch))
+                    state, loss = trainer.train_epoch(state, host_rng,
+                                                      epoch_key)
                 print(f"wrote profiler trace to {cfg.profile_dir}")
             else:
-                state, loss = trainer.train_epoch(state, host_rng,
-                                                  jax.random.PRNGKey(epoch))
+                state, loss = trainer.train_epoch(state, host_rng, epoch_key)
             if (epoch + 1) % cfg.eval_steps == 0:
                 results = test(trainer, state, cfg, eval_metric,
                                train_split=getattr(trainer, "train_eval_split",

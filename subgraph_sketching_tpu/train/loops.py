@@ -107,23 +107,37 @@ def eval_subset(total: int, n_samples, dataset_name: str = "") -> np.ndarray:
     return np.sort(rng.permutation(total)[:n_samples]).astype(np.int32)
 
 
-def _epoch_permutation(num_links: int, batch_size: int, rng: np.random.Generator,
-                       train_samples: float = math.inf) -> np.ndarray:
-    """[steps, batch_size] int32; -1 marks padding (masked out of the loss).
-
-    Subsampling semantics follow reference get_num_samples (utils.py:32-43):
-    a fraction if < 1, else a count.
-    """
+def _epoch_plan(num_links: int, batch_size: int,
+                train_samples: float = math.inf) -> Tuple[int, int]:
+    """(links used per epoch, steps).  Subsampling semantics follow reference
+    get_num_samples (utils.py:32-43): a fraction if < 1, else a count."""
     n = num_links
     if train_samples < 1:
         n = int(train_samples * num_links)
     elif train_samples != math.inf:
         n = min(int(train_samples), num_links)
-    perm = rng.permutation(num_links)[:n].astype(np.int32)
-    steps = max(1, math.ceil(n / batch_size))
-    padded = np.full(steps * batch_size, -1, dtype=np.int32)
-    padded[:n] = perm
-    return padded.reshape(steps, batch_size)
+    return n, max(1, math.ceil(n / batch_size))
+
+
+def _device_permutation(key: jax.Array, num_links: int, batch_size: int,
+                        n_used: int, steps: int, mesh) -> jnp.ndarray:
+    """[steps, batch_size] int32 on device; -1 marks padding (masked out of
+    the loss).
+
+    Generated inside the epoch jit: a host-built permutation would be a
+    megabytes-scale host->device upload every epoch (~23ms over the TPU
+    relay for a 131k batch, measured — comparable to the compute itself).
+    """
+    flat = jax.random.permutation(key, num_links)[:n_used].astype(jnp.int32)
+    pad = steps * batch_size - n_used
+    if pad:
+        flat = jnp.concatenate([flat, jnp.full((pad,), -1, jnp.int32)])
+    perm = flat.reshape(steps, batch_size)
+    if mesh is not None and "data" in mesh.axis_names:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        perm = jax.lax.with_sharding_constraint(
+            perm, NamedSharding(mesh, P(None, "data")))
+    return perm
 
 
 # ------------------------------------------------------------------ BUDDY --
@@ -211,18 +225,29 @@ class BuddyTrainer:
 
     # -- data staging -------------------------------------------------------
     def stage(self, split: str, ds: LinkDataset):
+        # Every per-link scalar/row (sf, label, endpoint degrees, RA) is
+        # static for the split, so pack them into ONE [L, F] f32 row array.
+        # The per-batch gather is then a single wide row gather instead of
+        # five — on TPU scalar-element gathers cost ~27ns each while row
+        # gathers run at HBM bandwidth (measured, tools/probe_step_parts.py:
+        # 8.2ms -> ~1ms of the 11.5ms step at B=131k).
+        sf = np.asarray(ds.subgraph_features, dtype=np.float32)
+        labels = np.asarray(ds.labels, dtype=np.float32)[:, None]
+        deg = np.asarray(ds.degrees, dtype=np.float32)
+        links_np = np.asarray(ds.links)
+        cols = [sf, labels, deg[links_np[:, 0]][:, None],
+                deg[links_np[:, 1]][:, None]]
+        if self.cfg.use_RA:
+            cols.append(np.asarray(ds.RA, dtype=np.float32)[:, None])
         d = {
             "links": jnp.asarray(ds.links),
-            "labels": jnp.asarray(ds.labels),
-            "sf": jnp.asarray(ds.subgraph_features),
-            "degrees": jnp.asarray(ds.degrees),
+            "rows": jnp.asarray(np.concatenate(cols, axis=1)),
         }
+        self._sf_dim = sf.shape[1]
         if self.use_embedding and self.cfg.propagate_embeddings:
             d["edge_index"] = jnp.asarray(ds.edge_index)
         if self.use_feature:
             d["x"] = jnp.asarray(ds.x)
-        if self.cfg.use_RA:
-            d["RA"] = jnp.asarray(ds.RA)
         d = {k: self._replicate(v) for k, v in d.items()}
         self._data[split] = d
 
@@ -230,13 +255,15 @@ class BuddyTrainer:
         """Gather one batch by link indices (idx may contain -1 padding)."""
         safe = jnp.maximum(idx, 0)
         links = data["links"][safe]
+        rows = data["rows"][safe]
+        c = self._sf_dim
         batch = {
-            "sf": data["sf"][safe],
-            "labels": data["labels"][safe],
+            "sf": rows[:, :c],
+            "labels": rows[:, c],
             "mask": (idx >= 0),
             "links": links,
-            "src_degree": data["degrees"][links[:, 0]],
-            "dst_degree": data["degrees"][links[:, 1]],
+            "src_degree": rows[:, c + 1],
+            "dst_degree": rows[:, c + 2],
         }
         if self.use_embedding and self.cfg.propagate_embeddings:
             batch["edge_index"] = data["edge_index"]
@@ -245,7 +272,7 @@ class BuddyTrainer:
         if self.use_feature:
             batch["node_features"] = data["x"][links]
         if self.cfg.use_RA:
-            batch["RA"] = data["RA"][safe]
+            batch["RA"] = rows[:, c + 3]
         return batch
 
     def _apply(self, params, batch_stats, batch, training, dropout_rng=None):
@@ -283,9 +310,14 @@ class BuddyTrainer:
         return TrainState(params, batch_stats, self.optimizer.init(params))
 
     # -- jitted fns ---------------------------------------------------------
-    def _train_epoch_fn(self):
-        def epoch(state: TrainState, perm: jnp.ndarray, rng: jax.Array):
+    def _train_epoch_fn(self, n_used: int, steps: int):
+        def epoch(state: TrainState, rng: jax.Array):
             data = self._data["train"]
+            perm_key, rng = jax.random.split(rng)
+            perm = _device_permutation(perm_key,
+                                       int(data["links"].shape[0]),
+                                       self.cfg.batch_size, n_used, steps,
+                                       self.mesh)
 
             def step(carry, inp):
                 st, key = carry
@@ -328,14 +360,15 @@ class BuddyTrainer:
 
     def train_epoch(self, state: TrainState, rng: np.random.Generator,
                     epoch_rng: jax.Array) -> Tuple[TrainState, float]:
-        if not hasattr(self, "_epoch_jit"):
-            self._epoch_jit = self._train_epoch_fn()
+        """One epoch.  ``epoch_rng`` seeds both the on-device shuffle and the
+        dropout stream; the host ``rng`` is unused (kept for API stability)."""
         data = self._data["train"]
-        perm = _epoch_permutation(int(data["links"].shape[0]),
-                                  self.cfg.batch_size, rng,
-                                  self.cfg.train_samples)
-        perm_dev = self._shard_batch_dim(jnp.asarray(perm), axis=1)
-        state, losses = self._epoch_jit(state, perm_dev, epoch_rng)
+        if not hasattr(self, "_epoch_jit"):
+            n_used, steps = _epoch_plan(int(data["links"].shape[0]),
+                                        self.cfg.batch_size,
+                                        self.cfg.train_samples)
+            self._epoch_jit = self._train_epoch_fn(n_used, steps)
+        state, losses = self._epoch_jit(state, epoch_rng)
         # reference reports sum(loss * batch_size) / num_links (train.py:77,89)
         total = float(jnp.sum(losses) * self.cfg.batch_size)
         return state, total / data["links"].shape[0]
@@ -360,7 +393,7 @@ class BuddyTrainer:
             out = np.asarray(self._pred_jit(state, data, jnp.asarray(idx)))
             preds.append(out[:bs - pad] if pad else out)
         pred = np.concatenate(preds)
-        labels = np.asarray(data["labels"])[sel]
+        labels = np.asarray(data["rows"][:, self._sf_dim])[sel]
         return pred, labels
 
 
@@ -512,9 +545,14 @@ class ElphTrainer:
                        "predictor": pred_vars.get("batch_stats", {})}
         return TrainState(params, batch_stats, self.optimizer.init(params))
 
-    def _train_epoch_fn(self):
-        def epoch(state: TrainState, perm: jnp.ndarray, rng: jax.Array):
+    def _train_epoch_fn(self, n_used: int, steps: int):
+        def epoch(state: TrainState, rng: jax.Array):
             data = self._data["train"]
+            perm_key, rng = jax.random.split(rng)
+            perm = _device_permutation(perm_key,
+                                       int(data["links"].shape[0]),
+                                       self.cfg.batch_size, n_used, steps,
+                                       self.mesh)
 
             def step(carry, idx):
                 st, key = carry
@@ -559,14 +597,15 @@ class ElphTrainer:
 
     def train_epoch(self, state: TrainState, rng: np.random.Generator,
                     epoch_rng: jax.Array) -> Tuple[TrainState, float]:
-        if not hasattr(self, "_epoch_jit"):
-            self._epoch_jit = self._train_epoch_fn()
+        """One epoch.  ``epoch_rng`` seeds both the on-device shuffle and the
+        dropout stream; the host ``rng`` is unused (kept for API stability)."""
         data = self._data["train"]
-        perm = _epoch_permutation(int(data["links"].shape[0]),
-                                  self.cfg.batch_size, rng,
-                                  self.cfg.train_samples)
-        perm_dev = _shard_axis_on(self.mesh, jnp.asarray(perm), 1)
-        state, losses = self._epoch_jit(state, perm_dev, epoch_rng)
+        if not hasattr(self, "_epoch_jit"):
+            n_used, steps = _epoch_plan(int(data["links"].shape[0]),
+                                        self.cfg.batch_size,
+                                        self.cfg.train_samples)
+            self._epoch_jit = self._train_epoch_fn(n_used, steps)
+        state, losses = self._epoch_jit(state, epoch_rng)
         total = float(jnp.sum(losses) * self.cfg.batch_size)
         return state, total / data["links"].shape[0]
 
