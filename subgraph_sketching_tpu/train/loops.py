@@ -385,14 +385,16 @@ class BuddyTrainer:
         n = len(sel)
         bs = min(self.cfg.eval_batch_size, max(1, n))
         preds = []
+        # dispatch every batch before materialising any result: batches
+        # overlap in the device queue instead of paying a host sync each
         for s in range(0, n, bs):
             idx = sel[s:min(s + bs, n)]
             pad = bs - len(idx)
             if pad:
                 idx = np.concatenate([idx, np.full(pad, -1, np.int32)])
-            out = np.asarray(self._pred_jit(state, data, jnp.asarray(idx)))
+            out = self._pred_jit(state, data, jnp.asarray(idx))
             preds.append(out[:bs - pad] if pad else out)
-        pred = np.concatenate(preds)
+        pred = np.concatenate([np.asarray(p) for p in preds])
         labels = np.asarray(data["rows"][:, self._sf_dim])[sel]
         return pred, labels
 
@@ -639,14 +641,15 @@ class ElphTrainer:
                                    links_b, sf_b)
 
         preds = []
+        # dispatch all batches, then materialise (no per-batch host sync)
         for s in range(0, n, bs):
             idx = sel[s:min(s + bs, n)]
             pad = bs - len(idx)
             if pad:
                 idx = np.concatenate([idx, np.zeros(pad, np.int32)])
-            out = np.asarray(score(data["links"][jnp.asarray(idx)],
-                                   data["sf"][jnp.asarray(idx)]))
+            out = score(data["links"][jnp.asarray(idx)],
+                        data["sf"][jnp.asarray(idx)])
             preds.append(out[:bs - pad] if pad else out)
-        pred = np.concatenate(preds)
+        pred = np.concatenate([np.asarray(p) for p in preds])
         labels = np.asarray(data["labels"])[sel]
         return pred, labels

@@ -127,8 +127,8 @@ class SealTrainer:
                  min(int(self.cfg.train_samples), n))
         perm = rng.permutation(len(ds))[:n]
         bs = self.cfg.batch_size
-        total = 0.0
-        for s in range(0, n, bs):
+        losses = []  # device scalars; summed once at the end so host-side
+        for s in range(0, n, bs):  # subgraph extraction overlaps device steps
             idx = perm[s:s + bs]
             pad = bs - len(idx)
             mask = np.concatenate([np.ones(len(idx), bool),
@@ -139,7 +139,8 @@ class SealTrainer:
             batch, y = self._to_device(raw)
             epoch_rng, key = jax.random.split(epoch_rng)
             state, loss = self._step(state, batch, y, jnp.asarray(mask), key)
-            total += float(loss) * bs
+            losses.append(loss)
+        total = float(jnp.sum(jnp.stack(losses))) * bs if losses else 0.0
         return state, total / max(n, 1)
 
     def predict(self, state: TrainState, split: str,
@@ -161,6 +162,8 @@ class SealTrainer:
             return self._fwd_jit(state.params, state.batch_stats, batch)
 
         preds = []
+        # dispatch all batches, then materialise (no per-batch host sync);
+        # ds.batch() extraction stays host-side and overlaps device compute
         for s in range(0, n, bs):
             idx = sel[s:min(s + bs, n)]
             pad = bs - len(idx)
@@ -168,8 +171,8 @@ class SealTrainer:
                 idx = np.concatenate([idx, np.zeros(pad, np.int64)])
             raw = ds.batch(idx)
             batch, _ = self._to_device(raw)
-            out = np.asarray(fwd(batch))
+            out = fwd(batch)
             preds.append(out[:bs - pad] if pad else out)
-        pred = np.concatenate(preds)[:n]
+        pred = np.concatenate([np.asarray(p) for p in preds])[:n]
         labels = ds.labels[sel]
         return pred, labels
