@@ -163,6 +163,7 @@ class SIGNEmbedding(nn.Module):
     out_channels: int
     K: int
     dropout: float
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, edge_index, num_nodes: int, *, training: bool = False,
@@ -170,14 +171,16 @@ class SIGNEmbedding(nn.Module):
         ei, w, m = gcn_norm(edge_index, None, num_nodes, mask)
         hs = []
         for k in range(self.K + 1):
-            h = nn.Dense(self.hidden_channels, name=f"lin_{k}")(x)
-            h = batch_norm(training, name=f"bn_{k}")(h)
+            h = nn.Dense(self.hidden_channels, name=f"lin_{k}",
+                         dtype=self.dtype)(x)
+            h = batch_norm(training, name=f"bn_{k}", dtype=self.dtype)(h)
             h = nn.relu(h)
             h = nn.Dropout(self.dropout, deterministic=not training)(h)
             hs.append(h)
             x = spmm(ei, w, x, num_nodes, mask=m)
         h = jnp.concatenate(hs, axis=-1)
-        return nn.Dense(self.out_channels, name="lin_out")(h)
+        return nn.Dense(self.out_channels, name="lin_out",
+                        dtype=self.dtype)(h)
 
 
 class MLPLinkPredictor(nn.Module):

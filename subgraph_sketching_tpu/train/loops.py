@@ -160,6 +160,7 @@ class BuddyWithEmbedding(nn.Module):
     propagate: bool = False
     sign_k: int = 0
     sign_dropout: float = 0.5
+    dtype: Any = None  # compute dtype for the SIGN embedding propagation
 
     @nn.compact
     def __call__(self, links=None, edge_index=None, num_nodes=None,
@@ -174,7 +175,8 @@ class BuddyWithEmbedding(nn.Module):
             if self.propagate and edge_index is not None:
                 table = SIGNEmbedding(self.hidden_channels,
                                       self.hidden_channels, self.sign_k,
-                                      self.sign_dropout, name="sign_embedding")(
+                                      self.sign_dropout, dtype=self.dtype,
+                                      name="sign_embedding")(
                     table, edge_index, self.num_nodes, training=training)
             emb = table[links]
         return self.buddy(emb=emb, training=training, **kwargs)
@@ -206,7 +208,7 @@ class BuddyTrainer:
             hidden_channels=cfg.hidden_channels,
             use_embedding=self.use_embedding,
             propagate=cfg.propagate_embeddings, sign_k=max(cfg.sign_k, 1),
-            sign_dropout=cfg.sign_dropout)
+            sign_dropout=cfg.sign_dropout, dtype=_dtype_from_cfg(cfg))
         self.optimizer = make_optimizer(cfg)
         self.loss_fn = get_loss(cfg.loss)
         self.use_feature = use_feature
