@@ -31,6 +31,76 @@ SUB_LEN = 16  # slots per sub-run (power of two).  v5e sweep with the
               # L=32 71.5 M e/s — larger L shrinks the segment reduce
               # faster than slot padding grows, until L=32
 
+_PLAN_LIB = None
+_PLAN_TRIED = False
+
+
+def _plan_lib():
+    """Native (C++) plan builder — counting sort instead of the numpy
+    argsort/gather/scatter chain (86s -> ~2s at citation2 scale).  Falls
+    back to numpy when no toolchain is available."""
+    global _PLAN_LIB, _PLAN_TRIED
+    if _PLAN_TRIED:
+        return _PLAN_LIB
+    _PLAN_TRIED = True
+    try:
+        import ctypes
+        import os
+        import sys
+        root = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        sys.path.insert(0, os.path.join(root, "tools"))
+        from build_native import build_plan
+        lib = ctypes.CDLL(build_plan(verbose=False))
+        lib.plan_phase1.restype = ctypes.c_int64
+        lib.plan_phase2.restype = ctypes.c_int
+        lib.plan_slot_edge.restype = ctypes.c_int
+        _PLAN_LIB = lib
+    except Exception:
+        _PLAN_LIB = None
+    return _PLAN_LIB
+
+
+def _i32p(a):
+    import ctypes
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def _i64p(a):
+    import ctypes
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def _native_plan_tables(src: np.ndarray, dst: np.ndarray, num_nodes: int,
+                        sub_len: int):
+    """(order, gather_idx, sub_dst, run_starts, sub_starts) via the C++
+    builder, or None.  Bit-identical placement to the numpy construction
+    (stable counting sort); the prefix sums feed the lazy _slot_edge
+    table."""
+    lib = _plan_lib()
+    if lib is None:
+        return None
+    import ctypes
+    e = len(src)
+    run_starts = np.empty(num_nodes + 1, dtype=np.int64)
+    sub_starts = np.empty(num_nodes + 1, dtype=np.int64)
+    S = lib.plan_phase1(_i32p(dst), ctypes.c_int64(e),
+                        ctypes.c_int32(num_nodes), ctypes.c_int32(sub_len),
+                        _i64p(run_starts), _i64p(sub_starts))
+    if S < 0:
+        return None
+    order = np.empty(e, dtype=np.int32)
+    gather_idx = np.empty(S * sub_len, dtype=np.int32)
+    sub_dst = np.empty(S, dtype=np.int32)
+    rc = lib.plan_phase2(_i32p(src), _i32p(dst), ctypes.c_int64(e),
+                         ctypes.c_int32(num_nodes), ctypes.c_int32(sub_len),
+                         _i64p(run_starts), _i64p(sub_starts),
+                         ctypes.c_int64(S), _i32p(order),
+                         _i32p(gather_idx), _i32p(sub_dst))
+    if rc != 0:
+        return None
+    return order, gather_idx, sub_dst, run_starts, sub_starts
+
 
 def _identity_for(op: str, dtype) -> np.generic:
     if op == "min":
@@ -49,40 +119,93 @@ class SortedSegmentPlan:
                  sub_len: int = SUB_LEN):
         self.num_segments = num_nodes
         self.sub_len = sub_len
-        src = edge_index[0].astype(np.int64)
-        dst = edge_index[1].astype(np.int64)
-        order = np.argsort(dst, kind="stable")
-        self.order = order
-        src, dst = src[order], dst[order]
+        src = np.ascontiguousarray(edge_index[0], dtype=np.int32)
+        dst = np.ascontiguousarray(edge_index[1], dtype=np.int32)
         e = len(src)
         if e == 0:
             self.num_subruns = 0
+            self.order = np.zeros(0, dtype=np.int64)
             return
-        # position of each edge within its destination's run
+        native = _native_plan_tables(src, dst, num_nodes, sub_len)
+        if native is not None:
+            self.order, gather_idx, sub_dst, run_starts, sub_starts = native
+            self.num_subruns = len(sub_dst)
+            self._gather_idx_np = gather_idx
+            self._gather_idx_dev = None
+            self._slot_edge_cache = None  # built lazily from prefix sums
+            self._prefix = (run_starts, sub_starts)
+            self._sub_dst_np = sub_dst
+            self._sub_dst_dev = None
+            return
+        order = np.argsort(dst, kind="stable").astype(np.int64)
+        self.order = order
+        src, dst = src[order], dst[order]
+        # Slot index of edge i (dst-sorted): with pos = i - run_starts[dst]
+        # the slot is sub_starts[dst]*L + pos, so one fused gather of
+        # (sub_starts*L - run_starts) replaces the pos / sub_id / slot
+        # chain (each a separate 30M-element gather at citation2 scale —
+        # this constructor was 245s of single-thread numpy before)
         counts = np.bincount(dst, minlength=num_nodes)
         run_starts = np.zeros(num_nodes + 1, dtype=np.int64)
         np.cumsum(counts, out=run_starts[1:])
-        pos = np.arange(e) - run_starts[dst]
-        # sub-run id and slot within it
-        subruns_per_node = np.maximum((counts + sub_len - 1) // sub_len, 0)
+        subruns_per_node = (counts + sub_len - 1) // sub_len
         sub_starts = np.zeros(num_nodes + 1, dtype=np.int64)
         np.cumsum(subruns_per_node, out=sub_starts[1:])
-        sub_id = sub_starts[dst] + pos // sub_len
-        slot = pos % sub_len
+        offset = sub_starts[:-1] * sub_len - run_starts[:-1]   # per node
+        slot_idx = np.arange(e, dtype=np.int64) + offset[dst]  # per edge
+        sub_id = slot_idx >> int(np.log2(sub_len)) if \
+            (sub_len & (sub_len - 1)) == 0 else slot_idx // sub_len
         S = int(sub_starts[-1])
         self.num_subruns = S
-        # slot table: sentinel = row num_nodes (identity row)
+        # slot table: sentinel = row num_nodes (identity row).  Kept as host
+        # numpy and placed on device lazily (properties below): chunk()
+        # rereads these tables, and an eager upload would round-trip
+        # hundreds of MB through the TPU relay (~220s at citation2 scale,
+        # measured) for arrays the chunked path never uses on device
         gather_idx = np.full(S * sub_len, num_nodes, dtype=np.int32)
-        gather_idx[sub_id * sub_len + slot] = src
-        self.gather_idx = jnp.asarray(gather_idx)
+        gather_idx[slot_idx] = src
+        self._gather_idx_np = gather_idx
+        self._gather_idx_dev: Optional[jnp.ndarray] = None
         # slot -> original edge index (sentinel e -> zero weight), so edge
         # data reaches its slot host-side (stage_edge_data), never via a
         # device-side 1D gather (pathologically scalar on TPU)
-        self._slot_edge = np.full(S * sub_len, e, dtype=np.int64)
-        self._slot_edge[sub_id * sub_len + slot] = order
+        se = np.full(S * sub_len, e, dtype=np.int64)
+        se[slot_idx] = order
+        self._slot_edge_cache = se
+        self._prefix = None
         sub_dst = np.zeros(S, dtype=np.int32)
         sub_dst[sub_id] = dst
-        self.sub_dst = jnp.asarray(sub_dst)
+        self._sub_dst_np = sub_dst
+        self._sub_dst_dev: Optional[jnp.ndarray] = None
+
+    @property
+    def gather_idx(self) -> jnp.ndarray:
+        if self._gather_idx_dev is None:
+            self._gather_idx_dev = jnp.asarray(self._gather_idx_np)
+        return self._gather_idx_dev
+
+    @property
+    def sub_dst(self) -> jnp.ndarray:
+        if self._sub_dst_dev is None:
+            self._sub_dst_dev = jnp.asarray(self._sub_dst_np)
+        return self._sub_dst_dev
+
+    @property
+    def _slot_edge(self) -> np.ndarray:
+        # slot -> original edge id; only the SpMM staging path needs this
+        # table, so the native plan defers it (saves ~25% of build time and
+        # S*L*4 bytes for sketch-only plans)
+        if self._slot_edge_cache is None:
+            import ctypes
+            e = len(self.order)
+            run_starts, sub_starts = self._prefix
+            out = np.empty(self.num_subruns * self.sub_len, dtype=np.int32)
+            _plan_lib().plan_slot_edge(
+                _i32p(self.order), _i64p(run_starts), _i64p(sub_starts),
+                ctypes.c_int32(self.num_segments),
+                ctypes.c_int32(self.sub_len), ctypes.c_int64(e), _i32p(out))
+            self._slot_edge_cache = out
+        return self._slot_edge_cache
 
     def stage_edge_data(self, edge_data: np.ndarray) -> jnp.ndarray:
         """Permute per-edge data (original edge order) into slot order on
@@ -222,8 +345,8 @@ class ChunkedSegmentPlan:
         per_chunk = max(1, max_slots // L)          # sub-runs per chunk
         C = (S + per_chunk - 1) // per_chunk
         self.num_chunks = C
-        gi = np.asarray(base.gather_idx).reshape(S, L)
-        sd = np.asarray(base.sub_dst)
+        gi = base._gather_idx_np.reshape(S, L)      # host copy, no download
+        sd = base._sub_dst_np
         n = base.num_segments
         # pad sub-runs to C * per_chunk; padded rows gather the identity
         # sentinel (row n) and reduce into a dummy local segment
@@ -247,14 +370,46 @@ class ChunkedSegmentPlan:
             sub_local[c, s1 - s0:] = R
         self.window = R
         self.per_chunk = per_chunk
-        self.lo = jnp.asarray(lo)
-        self.gather_chunks = jnp.asarray(
-            gi_p.reshape(C, per_chunk * L))
-        self.sub_local = jnp.asarray(sub_local)
-        # slot -> original edge id per chunk (for stage_edge_data parity)
-        se = np.full((padded, L), len(base.order), dtype=np.int64)
-        se[:S] = np.asarray(base._slot_edge).reshape(S, L)
-        self._slot_edge_chunks = se.reshape(C, per_chunk * L)
+        # device placement is lazy (same rationale as SortedSegmentPlan:
+        # the table upload is interconnect-bound and should not be charged
+        # to host plan construction)
+        self._lo_np = lo
+        self._gather_chunks_np = gi_p.reshape(C, per_chunk * L)
+        self._sub_local_np = sub_local
+        self._dev: Optional[tuple] = None
+        self._padded = padded
+        self._slot_edge_chunks_np: Optional[np.ndarray] = None
+
+    @property
+    def _slot_edge_chunks(self) -> np.ndarray:
+        # slot -> original edge id per chunk; only stage_edge_data (the SpMM
+        # path) needs this ~8B/slot table, so build it on first use
+        if self._slot_edge_chunks_np is None:
+            base, L, S, C = (self.base, self.sub_len, self.base.num_subruns,
+                             self.num_chunks)
+            se = np.full((self._padded, L), len(base.order), dtype=np.int64)
+            se[:S] = np.asarray(base._slot_edge).reshape(S, L)
+            self._slot_edge_chunks_np = se.reshape(C, self.per_chunk * L)
+        return self._slot_edge_chunks_np
+
+    def _device_tables(self):
+        if self._dev is None:
+            self._dev = (jnp.asarray(self._gather_chunks_np),
+                         jnp.asarray(self._sub_local_np),
+                         jnp.asarray(self._lo_np))
+        return self._dev
+
+    @property
+    def gather_chunks(self) -> jnp.ndarray:
+        return self._device_tables()[0]
+
+    @property
+    def sub_local(self) -> jnp.ndarray:
+        return self._device_tables()[1]
+
+    @property
+    def lo(self) -> jnp.ndarray:
+        return self._device_tables()[2]
 
     def stage_edge_data(self, edge_data: np.ndarray) -> jnp.ndarray:
         wz = np.concatenate([np.asarray(edge_data),

@@ -58,6 +58,35 @@ def test_chunked_plan_matches_full():
         np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
 
 
+def test_native_plan_matches_numpy():
+    """The C++ counting-sort plan builder (native/plan_build.cpp) must
+    produce bit-identical tables to the numpy argsort construction —
+    gather_idx, sub_dst, slot_edge (SpMM staging), and the stable edge
+    order — including duplicate edges, isolated nodes, and non-power-of-two
+    sub_len."""
+    import subgraph_sketching_tpu.ops.segment_scan as ss
+    if ss._plan_lib() is None:
+        import pytest
+        pytest.skip("native plan builder unavailable")
+    rng = np.random.default_rng(3)
+    for n, e, sub_len in [(100, 700, 8), (64, 2000, 16), (333, 900, 12),
+                          (50, 1, 8)]:
+        ei = np.stack([rng.integers(0, n, e),
+                       rng.integers(0, n // 2, e)]).astype(np.int32)
+        nat = ss.SortedSegmentPlan(ei, n, sub_len=sub_len)
+        saved = (ss._PLAN_LIB, ss._PLAN_TRIED)
+        ss._PLAN_LIB, ss._PLAN_TRIED = None, True
+        try:
+            ref = ss.SortedSegmentPlan(ei, n, sub_len=sub_len)
+        finally:
+            ss._PLAN_LIB, ss._PLAN_TRIED = saved
+        assert nat.num_subruns == ref.num_subruns
+        np.testing.assert_array_equal(nat.order, ref.order)
+        np.testing.assert_array_equal(nat._gather_idx_np, ref._gather_idx_np)
+        np.testing.assert_array_equal(nat._sub_dst_np, ref._sub_dst_np)
+        np.testing.assert_array_equal(nat._slot_edge, ref._slot_edge)
+
+
 def test_auto_plan_threshold():
     from subgraph_sketching_tpu.ops.segment_scan import (
         ChunkedSegmentPlan, SortedSegmentPlan, make_auto_plan)

@@ -14,27 +14,39 @@ import subprocess
 import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-SRC = os.path.join(ROOT, "native", "seal_extract.cpp")
 OUT_DIR = os.path.join(ROOT, "subgraph_sketching_tpu", "native")
+SRC = os.path.join(ROOT, "native", "seal_extract.cpp")
 OUT = os.path.join(OUT_DIR, "_seal_extract.so")
 
 
-def build(verbose: bool = True) -> str:
+def _build_one(src: str, out: str, verbose: bool) -> str:
     os.makedirs(OUT_DIR, exist_ok=True)
     init = os.path.join(OUT_DIR, "__init__.py")
     if not os.path.exists(init):
         open(init, "w").close()
-    if (os.path.exists(OUT)
-            and os.path.getmtime(OUT) >= os.path.getmtime(SRC)):
-        return OUT
+    if (os.path.exists(out)
+            and os.path.getmtime(out) >= os.path.getmtime(src)):
+        return out
     cmd = ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
-           "-std=c++17", SRC, "-o", OUT]
+           "-std=c++17", src, "-o", out]
     if verbose:
         print(" ".join(cmd))
     subprocess.run(cmd, check=True)
-    return OUT
+    return out
+
+
+def build(verbose: bool = True) -> str:
+    """SEAL extraction library (kept as the historical entry point)."""
+    return _build_one(SRC, OUT, verbose)
+
+
+def build_plan(verbose: bool = True) -> str:
+    """Segment-plan builder library (ops/segment_scan native path)."""
+    return _build_one(os.path.join(ROOT, "native", "plan_build.cpp"),
+                      os.path.join(OUT_DIR, "_plan_build.so"), verbose)
 
 
 if __name__ == "__main__":
     print(build())
+    print(build_plan())
     sys.exit(0)

@@ -10,7 +10,10 @@ device (the tunnel uploads only the plan's index tables).
 
 Timing = host read of a derived scalar (see perf_round2b.py).
 """
+import sys
 import time
+
+sys.path.insert(0, "/root/repo")
 
 import jax
 import numpy as np
