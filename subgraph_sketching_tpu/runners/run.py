@@ -190,6 +190,13 @@ def make_parser() -> argparse.ArgumentParser:
     for f in dataclasses.fields(Config):
         name = f"--{f.name}"
         default = getattr(defaults, f.name)
+        if f.name == "use_wandb_offline":
+            # the reference spells the flag --wandb_offline with dest
+            # use_wandb_offline (run.py:243); accept both
+            parser.add_argument("--wandb_offline", name,
+                                dest="use_wandb_offline", type=str2bool,
+                                nargs="?", const=True, default=default)
+            continue
         if f.name == "mesh_shape":
             parser.add_argument(name, type=lambda s: [int(x) for x in
                                                       s.split(",")],
@@ -201,7 +208,11 @@ def make_parser() -> argparse.ArgumentParser:
                                 default=["data"])
             continue
         if isinstance(default, bool):
-            parser.add_argument(name, type=str2bool, default=default)
+            # nargs="?": both the reference's store_true style
+            # (`--cache_subgraph_features`, README.md:77) and the sweepable
+            # `--use_feature 0` style parse
+            parser.add_argument(name, type=str2bool, nargs="?", const=True,
+                                default=default)
         elif f.type in ("float", float) or isinstance(default, float):
             parser.add_argument(name, type=float, default=default)
         elif isinstance(default, int):

@@ -1,0 +1,71 @@
+"""CLI-compatibility tests: every reproduction command from the reference
+README (README.md:69-80) must parse through our generated parser with the
+same flag spellings — including store_true-style bare booleans, the
+``--dataset`` prefix abbreviation, and the ``--wandb_offline`` alias."""
+
+import shlex
+
+from subgraph_sketching_tpu.runners.run import make_parser
+
+# reference README.md:69-80 verbatim, minus the ogbl-ppa line which is
+# broken in the reference itself ("----use_zero_one 1 model BUDDY")
+REFERENCE_COMMANDS = [
+    "--dataset_name Cora --model ELPH",
+    "--dataset_name Cora --model BUDDY",
+    "--dataset_name Citeseer --model ELPH",
+    "--dataset_name Citeseer --model BUDDY",
+    "--dataset_name Pubmed --max_hash_hops 3 --feature_dropout 0.2 "
+    "--model ELPH",
+    "--dataset_name Pubmed --max_hash_hops 3 --feature_dropout 0.2 "
+    "--model BUDDY",
+    "--dataset_name ogbl-collab --K 50 --lr 0.01 --feature_dropout 0.05 "
+    "--add_normed_features 1 --label_dropout 0.1 --batch_size 2048 "
+    "--year 2007 --model ELPH",
+    "--dataset_name ogbl-collab --K 50 --lr 0.02 --feature_dropout 0.05 "
+    "--add_normed_features 1 --cache_subgraph_features --label_dropout 0.1 "
+    "--year 2007 --model BUDDY",
+    "--dataset ogbl-ddi --K 20 --train_node_embedding "
+    "--propagate_embeddings --label_dropout 0.25 --epochs 150 "
+    "--hidden_channels 256 --lr 0.0015 --num_negs 6 --use_feature 0 "
+    "--sign_k 2 --batch_size 131072 --model ELPH",
+    "--dataset ogbl-ddi --K 20 --train_node_embedding "
+    "--propagate_embeddings --label_dropout 0.25 --epochs 150 "
+    "--hidden_channels 256 --lr 0.0015 --num_negs 6 --use_feature 0 "
+    "--sign_k 2 --cache_subgraph_features --batch_size 131072 --model BUDDY",
+    "--dataset ogbl-citation2 --hidden_channels 128 --num_negs 5 "
+    "--lr 0.0005 --sign_dropout 0.2 --feature_dropout 0.7 "
+    "--label_dropout 0.8 --sign_k 3 --batch_size 261424 "
+    "--eval_batch_size 522848 --cache_subgraph_features --model BUDDY",
+]
+
+
+def test_reference_readme_commands_parse():
+    parser = make_parser()
+    for cmd in REFERENCE_COMMANDS:
+        args = parser.parse_args(shlex.split(cmd))
+        assert args.model in ("ELPH", "BUDDY")
+
+
+def test_bare_and_valued_booleans():
+    parser = make_parser()
+    a = parser.parse_args(["--cache_subgraph_features"])
+    assert a.cache_subgraph_features is True
+    a = parser.parse_args(["--cache_subgraph_features", "0"])
+    assert a.cache_subgraph_features is False
+    a = parser.parse_args(["--use_feature", "0"])
+    assert a.use_feature is False
+
+
+def test_wandb_offline_alias():
+    parser = make_parser()
+    assert parser.parse_args(["--wandb_offline"]).use_wandb_offline is True
+    assert parser.parse_args(
+        ["--use_wandb_offline", "0"]).use_wandb_offline is False
+
+
+def test_reps_and_sweep_flags_parse():
+    # leaderboard protocol (README.md:100-104) and sweep surface
+    parser = make_parser()
+    a = parser.parse_args(["--dataset_name", "Cora", "--model", "BUDDY",
+                           "--reps", "10", "--wandb_sweep"])
+    assert a.reps == 10 and a.wandb_sweep is True
