@@ -44,9 +44,9 @@ MAX_SLOTS = 4 << 20
 params = SketchParams(max_hops=K, num_perm=P, hll_p=8)
 
 rng = np.random.default_rng(0)
-t0 = time.perf_counter()
 src = rng.integers(0, N, E, dtype=np.int32)
 dst = rng.integers(0, N, E, dtype=np.int32)
+t0 = time.perf_counter()
 plan = make_plan(np.stack([src, dst]), N).chunk(MAX_SLOTS)
 log(f"host plan build: {time.perf_counter()-t0:.1f}s "
     f"chunks={plan.num_chunks} window={plan.window}")
@@ -82,6 +82,14 @@ from subgraph_sketching_tpu.sketch.hll import hll_count
 def one_hop(mh, hll):
     return plan.reduce(mh, "min"), plan.reduce(hll, "max")
 
+
+# warm-up: compile one_hop + hll_count once (shapes are identical for every
+# hop) so hop timings below measure execution, not the 1-2 min remote compile
+t0 = time.perf_counter()
+_mh_w, _hll_w = one_hop(mh0, hll0)
+float(hll_count(_hll_w, params.hll_p).sum())
+log(f"warm-up (compile): {time.perf_counter()-t0:.1f}s")
+_mh_w = _hll_w = None
 
 mhs, hlls, cards = [mh0], [hll0], []
 for k in range(1, K + 1):
