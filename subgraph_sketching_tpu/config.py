@@ -128,6 +128,11 @@ class Config:
     mesh_axes: List[str] = field(default_factory=lambda: ["data"])
     checkpoint_dir: Optional[str] = None
     resume: bool = False  # restore the latest checkpoint from checkpoint_dir
+    # multi-process failure detection (parallel/fault.py): shared dir for
+    # heartbeats; a peer silent for heartbeat_timeout seconds aborts the run
+    # cleanly (restartable via --resume) instead of hanging in a collective
+    heartbeat_dir: Optional[str] = None
+    heartbeat_timeout: float = 60.0
     cache_dir: Optional[str] = None  # preprocessing cache root
     data_root: Optional[str] = None  # dataset download/storage root
 

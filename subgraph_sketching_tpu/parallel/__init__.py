@@ -3,6 +3,10 @@ from subgraph_sketching_tpu.parallel.dist_sketch import (  # noqa: F401
     edge_sharded_build_hash_tables,
     lane_sharded_subgraph_features,
 )
+from subgraph_sketching_tpu.parallel.fault import (  # noqa: F401
+    HeartbeatDetector,
+    PeerFailure,
+)
 from subgraph_sketching_tpu.parallel.node_sharded import (  # noqa: F401
     NodePartitionPlan,
     make_node_partition,

@@ -1,0 +1,144 @@
+"""Failure detection for multi-host runs.
+
+The reference is single-process and has no fault story at all (SURVEY.md
+§5: "Failure detection / elastic recovery: none — a crash loses the run").
+On a pod slice the failure mode that actually bites is different: when a
+peer process dies, the survivors do not crash — they *hang forever* inside
+the next collective waiting for a contribution that will never arrive.
+This module turns that silent hang into a prompt, named error so an outer
+launcher can restart the job from the latest orbax checkpoint
+(train/checkpoint.py + ``--resume``).
+
+Design: a filesystem heartbeat, deliberately out-of-band of the collective
+fabric — if ICI/DCN or the jax runtime is wedged, an in-band probe would
+wedge with it.  Every process writes a monotonic timestamp to
+``<dir>/hb_<pid>`` from a daemon thread; ``check()`` (called between
+steps/epochs from the training loop) compares every peer's mtime against
+``timeout`` and raises ``PeerFailure`` naming the dead processes.  The
+shared directory is whatever the job already shares (NFS / GCS-fuse on
+pods, tmp locally); heartbeat traffic is one tiny write per interval.
+
+Single-process runs: ``maybe_start`` returns None and everything is a
+no-op — the detector costs nothing unless the run is actually distributed.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+from typing import Optional, Sequence
+
+
+class PeerFailure(RuntimeError):
+    """A peer process missed its heartbeat deadline."""
+
+    def __init__(self, dead: Sequence[int], timeout: float):
+        self.dead = list(dead)
+        super().__init__(
+            f"peer process(es) {self.dead} missed the heartbeat deadline "
+            f"({timeout:.1f}s); aborting before the next collective hangs. "
+            f"Restart the job and pass --resume to continue from the latest "
+            f"checkpoint.")
+
+
+class HeartbeatDetector:
+    """Write own heartbeat periodically; check peers' on demand.
+
+    Parameters
+    ----------
+    directory: shared directory (must be visible to all processes).
+    process_id / num_processes: this process's rank and the world size.
+    interval: seconds between own-heartbeat writes.
+    timeout: seconds of peer silence that counts as death.  Must be
+        comfortably larger than both ``interval`` and the longest gap
+        between ``check()`` call sites (a jitted epoch counts as one gap).
+    """
+
+    def __init__(self, directory: str, process_id: int, num_processes: int,
+                 interval: float = 2.0, timeout: float = 60.0):
+        self.dir = directory
+        self.pid = process_id
+        self.n = num_processes
+        self.interval = interval
+        self.timeout = timeout
+        os.makedirs(directory, exist_ok=True)
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+
+    def _path(self, pid: int) -> str:
+        return os.path.join(self.dir, f"hb_{pid}")
+
+    def _beat_once(self) -> None:
+        # atomic replace so a reader never sees a partial file
+        tmp = self._path(self.pid) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(time.time()))
+        os.replace(tmp, self._path(self.pid))
+
+    def start(self) -> "HeartbeatDetector":
+        self._beat_once()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+        return self
+
+    def _loop(self) -> None:
+        while not self._stop.wait(self.interval):
+            try:
+                self._beat_once()
+            except OSError:
+                pass  # transient fs hiccup; next beat retries
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=self.interval + 1)
+
+    def wait_all_started(self, startup_timeout: float = 120.0) -> None:
+        """Block until every peer has written its first heartbeat (job
+        startup barrier that cannot hang past ``startup_timeout``)."""
+        deadline = time.time() + startup_timeout
+        missing = set(range(self.n)) - {self.pid}
+        while missing and time.time() < deadline:
+            missing = {p for p in missing if not os.path.exists(self._path(p))}
+            if missing:
+                time.sleep(0.2)
+        if missing:
+            raise PeerFailure(sorted(missing), startup_timeout)
+
+    def check(self) -> None:
+        """Raise PeerFailure if any peer's heartbeat is older than
+        ``timeout``.  Call between steps/epochs on every process."""
+        now = time.time()
+        dead = []
+        for p in range(self.n):
+            if p == self.pid:
+                continue
+            try:
+                age = now - os.path.getmtime(self._path(p))
+            except OSError:
+                dead.append(p)  # file vanished
+                continue
+            if age > self.timeout:
+                dead.append(p)
+        if dead:
+            raise PeerFailure(dead, self.timeout)
+
+
+def maybe_start(directory: Optional[str],
+                interval: float = 2.0,
+                timeout: float = 60.0) -> Optional[HeartbeatDetector]:
+    """Start a detector iff this is a real multi-process run.
+
+    Returns None (all call sites then no-op) for single-process runs or
+    when no shared directory is configured.
+    """
+    import jax
+    if directory is None or jax.process_count() <= 1:
+        return None
+    det = HeartbeatDetector(directory, jax.process_index(),
+                            jax.process_count(), interval=interval,
+                            timeout=timeout)
+    det.start()
+    det.wait_all_started()
+    return det

@@ -83,6 +83,11 @@ def run(cfg: Config):
             f"model {cfg.model} is not wired into the runner yet "
             f"(available: BUDDY, ELPH, {', '.join(SEAL_MODELS)})")
     print(f"executing on {jax.devices()[0].platform}")
+    # multi-process runs: heartbeat failure detector so a dead peer aborts
+    # the run promptly (restartable with --resume) instead of hanging the
+    # survivors in the next collective; no-op single-process
+    from subgraph_sketching_tpu.parallel.fault import maybe_start
+    detector = maybe_start(cfg.heartbeat_dir, timeout=cfg.heartbeat_timeout)
     from subgraph_sketching_tpu.metrics_logging import MetricsLogger
     logger = MetricsLogger(
         run_dir=cfg.checkpoint_dir, use_wandb=cfg.wandb,
@@ -139,6 +144,8 @@ def run(cfg: Config):
                 print(f"wrote profiler trace to {cfg.profile_dir}")
             else:
                 state, loss = trainer.train_epoch(state, host_rng, epoch_key)
+            if detector is not None:
+                detector.check()
             if (epoch + 1) % cfg.eval_steps == 0:
                 results = test(trainer, state, cfg, eval_metric,
                                train_split=getattr(trainer, "train_eval_split",
@@ -179,6 +186,8 @@ def run(cfg: Config):
         path = save_checkpoint(cfg.checkpoint_dir, state, step=cfg.epochs)
         print(f"saved checkpoint to {path}")
     logger.finish()
+    if detector is not None:
+        detector.stop()
     return results_list
 
 
