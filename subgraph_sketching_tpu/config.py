@@ -133,6 +133,9 @@ class Config:
     # cleanly (restartable via --resume) instead of hanging in a collective
     heartbeat_dir: Optional[str] = None
     heartbeat_timeout: float = 60.0
+    # run epoch 0 twice from identical state and assert bitwise-equal
+    # results (train/determinism.py — the race-detection analogue)
+    check_determinism: bool = False
     cache_dir: Optional[str] = None  # preprocessing cache root
     data_root: Optional[str] = None  # dataset download/storage root
 

@@ -126,6 +126,16 @@ def run(cfg: Config):
                 state, step = restore_into(cfg.checkpoint_dir, state)
                 print(f"resumed from checkpoint step {step}")
 
+        if cfg.check_determinism and rep == 0:
+            from subgraph_sketching_tpu.train.determinism import (
+                check_epoch_determinism,
+            )
+            n_arr, dloss = check_epoch_determinism(
+                trainer, state, jax.random.fold_in(jax.random.PRNGKey(rep), 0),
+                rng=host_rng)
+            print(f"determinism check passed: {n_arr} state arrays "
+                  f"bitwise-identical across epoch reruns (loss {dloss:.4f})")
+
         val_res = test_res = train_res = 0.0
         best_epoch = 0
         print(f"running repetition {rep}")
