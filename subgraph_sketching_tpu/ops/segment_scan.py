@@ -181,13 +181,22 @@ class SortedSegmentPlan:
     @property
     def gather_idx(self) -> jnp.ndarray:
         if self._gather_idx_dev is None:
-            self._gather_idx_dev = jnp.asarray(self._gather_idx_np)
+            arr = jnp.asarray(self._gather_idx_np)
+            if isinstance(arr, jax.core.Tracer):
+                # first touch is inside a jit trace: hand back the traced
+                # constant but do NOT cache it — a cached tracer would
+                # poison every later use of this plan (UnexpectedTracer)
+                return arr
+            self._gather_idx_dev = arr
         return self._gather_idx_dev
 
     @property
     def sub_dst(self) -> jnp.ndarray:
         if self._sub_dst_dev is None:
-            self._sub_dst_dev = jnp.asarray(self._sub_dst_np)
+            arr = jnp.asarray(self._sub_dst_np)
+            if isinstance(arr, jax.core.Tracer):
+                return arr
+            self._sub_dst_dev = arr
         return self._sub_dst_dev
 
     @property
@@ -394,9 +403,12 @@ class ChunkedSegmentPlan:
 
     def _device_tables(self):
         if self._dev is None:
-            self._dev = (jnp.asarray(self._gather_chunks_np),
-                         jnp.asarray(self._sub_local_np),
-                         jnp.asarray(self._lo_np))
+            dev = (jnp.asarray(self._gather_chunks_np),
+                   jnp.asarray(self._sub_local_np),
+                   jnp.asarray(self._lo_np))
+            if any(isinstance(a, jax.core.Tracer) for a in dev):
+                return dev  # inside a jit trace: never cache tracers
+            self._dev = dev
         return self._dev
 
     @property

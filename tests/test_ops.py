@@ -30,6 +30,32 @@ def test_scan_plan_matches_scatter_min_max():
         np.testing.assert_array_equal(got, ref)
 
 
+def test_plan_first_touched_inside_jit_not_poisoned():
+    """The lazy device-table properties must not cache tracers: a plan whose
+    first reduce happens inside a jit trace used to latch the traced
+    constant and raise UnexpectedTracerError from every later jit."""
+    import jax
+
+    rng = np.random.default_rng(11)
+    n, e = 50, 300
+    ei = np.stack([rng.integers(0, n, e),
+                   rng.integers(0, n, e)]).astype(np.int32)
+    x = jnp.asarray(rng.integers(0, 2 ** 32 - 1, (n, 8), dtype=np.uint32))
+
+    plan = make_plan(ei, n, sub_len=8)   # never touched outside jit
+    r1 = jax.jit(lambda v: plan.reduce(v, "min"))(x)
+    r2 = jax.jit(lambda v: plan.reduce(v, "min") + 0)(x)  # distinct jit
+    r3 = plan.reduce(x, "min")                            # eager
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r3))
+    np.testing.assert_array_equal(np.asarray(r2), np.asarray(r3))
+
+    ck = make_plan(ei, n, sub_len=8).chunk(64)            # chunked variant
+    c1 = jax.jit(lambda v: ck.reduce(v, "min"))(x)
+    c2 = jax.jit(lambda v: ck.reduce(v, "min") + 0)(x)
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(r3))
+    np.testing.assert_array_equal(np.asarray(c2), np.asarray(r3))
+
+
 def test_chunked_plan_matches_full():
     """Bounded-memory chunked execution == one-shot plan, all ops,
     including destinations whose sub-runs straddle chunk boundaries."""
