@@ -61,6 +61,15 @@ def synthetic_graph(name: str, seed: int = 0) -> Graph:
         # small-world: high clustering -> informative structure features
         ei = watts_strogatz_graph(2000, 10, 0.1, seed=seed)
         n = 2000
+    elif name.startswith("synth-ws-"):
+        # parameterised scale testbed: synth-ws-<num_nodes>, e.g.
+        # synth-ws-500000 — the production CLI's route to citation2-class
+        # runs without real data (vectorised generator)
+        from subgraph_sketching_tpu.graph.synthetic import (
+            watts_strogatz_graph_fast,
+        )
+        n = int(name[len("synth-ws-"):])
+        ei = watts_strogatz_graph_fast(n, 10, 0.1, seed=seed)
     else:
         raise ValueError(f"unknown synthetic dataset {name}")
     x = (rng.random((n, 128)) < 0.05).astype(np.float32)  # sparse bag-of-words-like

@@ -56,6 +56,33 @@ def watts_strogatz_graph(n: int, k: int, p: float, seed: int = 0) -> np.ndarray:
     return both[:, order]
 
 
+def watts_strogatz_graph_fast(n: int, k: int, p: float,
+                              seed: int = 0) -> np.ndarray:
+    """Vectorised Watts-Strogatz for large n (numpy, no python loop).
+
+    Same model as ``watts_strogatz_graph`` (ring of k nearest neighbours,
+    each ring edge rewired to a random target with probability p; self
+    loops and duplicate undirected edges dropped) but O(n k) vectorised —
+    millions of nodes in seconds.  Small-n callers keep the loop version
+    so existing synthetic datasets stay byte-identical.
+    """
+    rng = np.random.default_rng(seed)
+    base = np.arange(n, dtype=np.int64)
+    src = np.repeat(base, k // 2)
+    off = np.tile(np.arange(1, k // 2 + 1, dtype=np.int64), n)
+    dst = (src + off) % n
+    rw = rng.random(len(src)) < p
+    dst[rw] = rng.integers(0, n, int(rw.sum()))
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    lo, hi = np.minimum(src, dst), np.maximum(src, dst)
+    code = np.unique(lo * n + hi)          # dedupe undirected pairs
+    e = np.stack([code // n, code % n]).astype(np.int32)
+    both = np.concatenate([e, e[::-1]], axis=1)
+    order = np.lexsort((both[1], both[0]))
+    return both[:, order]
+
+
 def erdos_renyi_graph(n: int, p: float, seed: int = 0) -> np.ndarray:
     """Undirected G(n, p) graph as a symmetric edge_index [2, 2*E] int32."""
     rng = np.random.default_rng(seed)

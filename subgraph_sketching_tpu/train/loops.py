@@ -313,8 +313,11 @@ class BuddyTrainer:
 
     # -- jitted fns ---------------------------------------------------------
     def _train_epoch_fn(self, n_used: int, steps: int):
-        def epoch(state: TrainState, rng: jax.Array):
-            data = self._data["train"]
+        # the staged split arrays ride as a jit ARGUMENT: closed-over device
+        # arrays become executable constants, which bloats the program and
+        # overflows the remote-compile request at scale (HTTP 413 observed
+        # at 500k nodes / 7M links)
+        def epoch(state: TrainState, rng: jax.Array, data):
             perm_key, rng = jax.random.split(rng)
             perm = _device_permutation(perm_key,
                                        int(data["links"].shape[0]),
@@ -370,7 +373,7 @@ class BuddyTrainer:
                                         self.cfg.batch_size,
                                         self.cfg.train_samples)
             self._epoch_jit = self._train_epoch_fn(n_used, steps)
-        state, losses = self._epoch_jit(state, epoch_rng)
+        state, losses = self._epoch_jit(state, epoch_rng, data)
         # reference reports sum(loss * batch_size) / num_links (train.py:77,89)
         total = float(jnp.sum(losses) * self.cfg.batch_size)
         return state, total / data["links"].shape[0]
@@ -550,8 +553,13 @@ class ElphTrainer:
         return TrainState(params, batch_stats, self.optimizer.init(params))
 
     def _train_epoch_fn(self, n_used: int, steps: int):
-        def epoch(state: TrainState, rng: jax.Array):
-            data = self._data["train"]
+        # staged arrays ride as a jit argument (see BuddyTrainer: closure
+        # constants overflow the remote compile at scale); num_nodes is a
+        # static shape parameter and stays a closure constant
+        num_nodes = self._data["train"]["num_nodes"]
+
+        def epoch(state: TrainState, rng: jax.Array, arrays):
+            data = dict(arrays, num_nodes=num_nodes)
             perm_key, rng = jax.random.split(rng)
             perm = _device_permutation(perm_key,
                                        int(data["links"].shape[0]),
@@ -609,7 +617,8 @@ class ElphTrainer:
                                         self.cfg.batch_size,
                                         self.cfg.train_samples)
             self._epoch_jit = self._train_epoch_fn(n_used, steps)
-        state, losses = self._epoch_jit(state, epoch_rng)
+        arrays = {k: v for k, v in data.items() if k != "num_nodes"}
+        state, losses = self._epoch_jit(state, epoch_rng, arrays)
         total = float(jnp.sum(losses) * self.cfg.batch_size)
         return state, total / data["links"].shape[0]
 

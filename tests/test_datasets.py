@@ -161,3 +161,33 @@ def test_ogb_citation2_path(fake_ogb, tmp_path):
                                   np.repeat(tr.pos_edges[:, 0], 2))
     # eval negatives expand target_node_neg per positive
     assert len(splits["valid"].neg_edges) == 50
+
+
+def test_parameterised_ws_dataset():
+    """synth-ws-<n> parses, and the vectorised WS generator produces a
+    valid undirected simple graph with ring-lattice degree structure."""
+    from subgraph_sketching_tpu.graph.datasets import synthetic_graph
+    from subgraph_sketching_tpu.graph.synthetic import (
+        watts_strogatz_graph_fast,
+    )
+
+    n, k = 5000, 10
+    ei = watts_strogatz_graph_fast(n, k, 0.1, seed=3)
+    src, dst = ei
+    assert ei.dtype == np.int32
+    assert (src != dst).all()                       # no self loops
+    # symmetric (undirected): every (u,v) has (v,u)
+    fwd = set(map(tuple, ei.T.tolist()))
+    assert all((v, u) in fwd for u, v in list(fwd)[:500])
+    # no duplicate directed edges
+    assert len(fwd) == ei.shape[1]
+    deg = np.bincount(src, minlength=n)
+    assert abs(deg.mean() - k) < 1.0                # ring degree ~k
+    # rewiring actually happened: some edges leave the ring window
+    ring_dist = np.minimum((dst - src) % n, (src - dst) % n)
+    assert (ring_dist > k // 2).sum() > 0.05 * ei.shape[1]
+
+    g = synthetic_graph("synth-ws-5000", seed=0)
+    assert g.num_nodes == 5000 and g.x.shape == (5000, 128)
+    with pytest.raises(ValueError):
+        synthetic_graph("synth-zz")
