@@ -243,3 +243,28 @@ def test_buddy_trainer_data_parallel_mesh(setup):
         losses[str(mesh_shape)] = loss
     assert np.isfinite(losses["[8]"])
     assert abs(losses["None"] - losses["[8]"]) < 1e-3
+
+
+def test_meshed_trainer_is_bitwise_deterministic(setup):
+    """The determinism checker over a DATA-PARALLEL meshed BuddyTrainer:
+    cross-replica reductions (grad psum, BN stats) must be bit-stable
+    across reruns — the distributed analogue of race detection."""
+    from subgraph_sketching_tpu.config import Config
+    from subgraph_sketching_tpu.graph.splits import random_link_split
+    from subgraph_sketching_tpu.graph.preprocess import build_link_dataset
+    from subgraph_sketching_tpu.train.determinism import (
+        check_epoch_determinism,
+    )
+    from subgraph_sketching_tpu.train.loops import BuddyTrainer
+    g, params, sk_ref, links = setup
+    g2 = Graph(g.edge_index, g.num_nodes,
+               x=np.random.default_rng(1).random((64, 8), dtype=np.float32))
+    cfg = Config(dataset_name="synth-ba", model="BUDDY", hidden_channels=8,
+                 batch_size=64, eval_batch_size=64, K=10,
+                 mesh_shape=[8], mesh_axes=["data"])
+    splits = random_link_split(g2, 0.1, 0.2, seed=0)
+    ds = build_link_dataset(splits["train"], cfg, "train")
+    trainer = BuddyTrainer(cfg, ds, 8)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    n, loss = check_epoch_determinism(trainer, state, jax.random.PRNGKey(5))
+    assert n > 0 and np.isfinite(loss)
