@@ -35,6 +35,7 @@ def set_seed(seed: int) -> np.random.Generator:
 
 
 SEAL_MODELS = ("SEALDGCNN", "SEALGCN", "SEALSAGE", "SEALGIN")
+KGE_MODELS = ("transE", "distmult", "complEx", "rotatE")
 
 
 def build_trainer(cfg: Config, datasets, num_features: Optional[int]):
@@ -78,10 +79,11 @@ def build_seal_trainer(cfg: Config, splits):
 
 def run(cfg: Config):
     """Rep loop with best-val model selection (reference run.py:50-110)."""
-    if cfg.model not in ("BUDDY", "ELPH") + SEAL_MODELS:
+    if cfg.model not in ("BUDDY", "ELPH") + SEAL_MODELS + KGE_MODELS:
         raise NotImplementedError(
             f"model {cfg.model} is not wired into the runner yet "
-            f"(available: BUDDY, ELPH, {', '.join(SEAL_MODELS)})")
+            f"(available: BUDDY, ELPH, {', '.join(SEAL_MODELS)}, "
+            f"{', '.join(KGE_MODELS)})")
     print(f"executing on {jax.devices()[0].platform}")
     # multi-process runs: heartbeat failure detector so a dead peer aborts
     # the run promptly (restartable with --resume) instead of hanging the
@@ -107,6 +109,14 @@ def run(cfg: Config):
         t0 = time.time()
         if cfg.model in SEAL_MODELS:
             trainer = build_seal_trainer(cfg, splits)
+        elif cfg.model in KGE_MODELS:
+            # KGE tier needs no sketches/features — train directly on the
+            # split's links (exceeds reference: transx.py is never wired
+            # into the reference's run.py)
+            from subgraph_sketching_tpu.train.kge_loop import (
+                build_kge_trainer,
+            )
+            trainer = build_kge_trainer(cfg, splits)
         else:
             datasets = {name: build_link_dataset(sd, cfg, name,
                                                  directed=directed)

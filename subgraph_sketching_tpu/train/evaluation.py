@@ -86,7 +86,19 @@ def evaluate_mrr(pos_train, neg_train, pos_val, neg_val, pos_test, neg_test
                     mrr(pos_test, shape(neg_test, pos_test)))}
 
 
-def evaluate_auc(val_pred, val_true, test_pred, test_true
-                 ) -> Dict[str, Tuple[float, float]]:
-    """(reference src/evaluation.py:84-98.)"""
-    return {"AUC": (roc_auc(val_pred, val_true), roc_auc(test_pred, test_true))}
+def evaluate_auc(val_pred, val_true, test_pred, test_true,
+                 train_pred=None, train_true=None
+                 ) -> Dict[str, Tuple[float, ...]]:
+    """(reference src/evaluation.py:84-98.)
+
+    The reference returns only (val, test) here and its runner then crashes
+    unpacking three values (`train_res, tmp_val_res, tmp_test_res = result`,
+    run.py:77) — so ``--eval_metric auc`` is unrunnable upstream.  We return
+    the full (train, val, test) triple when train predictions are supplied
+    so the metric drops into the same rep-loop bookkeeping as Hits/MRR.
+    """
+    val_auc = roc_auc(val_pred, val_true)
+    test_auc = roc_auc(test_pred, test_true)
+    if train_pred is None:
+        return {"AUC": (val_auc, test_auc)}
+    return {"AUC": (roc_auc(train_pred, train_true), val_auc, test_auc)}

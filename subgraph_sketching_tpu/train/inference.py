@@ -60,5 +60,8 @@ def test(trainer, state, cfg: Config, eval_metric: str = "hits",
         return evaluate_auc(np.concatenate([pv, nv]),
                             np.concatenate([np.ones(len(pv)), np.zeros(len(nv))]),
                             np.concatenate([pt, nt]),
-                            np.concatenate([np.ones(len(pt)), np.zeros(len(nt))]))
+                            np.concatenate([np.ones(len(pt)), np.zeros(len(nt))]),
+                            np.concatenate([ptr, ntr]),
+                            np.concatenate([np.ones(len(ptr)),
+                                            np.zeros(len(ntr))]))
     raise ValueError(eval_metric)
