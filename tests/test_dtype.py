@@ -130,7 +130,7 @@ def test_buddy_trainer_bf16_end_to_end():
     for epoch in range(3):
         state, loss = tr.train_epoch(state, rng, jax.random.PRNGKey(epoch))
         assert np.isfinite(loss)
-        val_auc, _ = run_test(tr, state, cfg, "auc")["AUC"]
+        _, val_auc, _ = run_test(tr, state, cfg, "auc")["AUC"]
         best = max(best, val_auc)
     # BN stats must have stayed f32
     assert _tree_dtypes(state.batch_stats) == {jnp.dtype(jnp.float32)}

@@ -119,7 +119,7 @@ def test_buddy_learns_on_easy_graph():
     features are highly informative."""
     from subgraph_sketching_tpu.runners.run import run
     cfg = small_cfg(epochs=5, eval_metric="auc", lr=0.01)
-    # auc path returns (val, test) tuples
+    # auc path returns (train, val, test) triples
     from subgraph_sketching_tpu.graph.datasets import get_data
     from subgraph_sketching_tpu.train.loops import BuddyTrainer
     from subgraph_sketching_tpu.train.inference import test as run_test
@@ -135,7 +135,7 @@ def test_buddy_learns_on_easy_graph():
     # the tiny model overfits fast, so track best-val like the runner does
     for epoch in range(5):
         state, loss = trainer.train_epoch(state, rng, jax.random.PRNGKey(epoch))
-        val_auc, _ = run_test(trainer, state, cfg, "auc")["AUC"]
+        _, val_auc, _ = run_test(trainer, state, cfg, "auc")["AUC"]
         best = max(best, val_auc)
     assert best > 0.7, f"best val AUC {best} too low - model not learning"
 
@@ -158,6 +158,6 @@ def test_buddy_quality_on_small_world():
     best = 0.0
     for epoch in range(3):
         state, _ = tr.train_epoch(state, rng, jax.random.PRNGKey(epoch))
-        val_auc, _ = run_test(tr, state, cfg, "auc")["AUC"]
+        _, val_auc, _ = run_test(tr, state, cfg, "auc")["AUC"]
         best = max(best, val_auc)
     assert best > 0.9, f"val AUC {best} below quality gate"
