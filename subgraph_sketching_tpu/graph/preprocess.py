@@ -74,15 +74,20 @@ def sign_features(x: np.ndarray, edge_index: np.ndarray,
     nei, nw, _ = gcn_norm(ei, ew, num_nodes)
     xj = jnp.asarray(x)
 
+    # staged weights / edge arrays ride as jit ARGUMENTS: large closure
+    # constants can overflow or drop the remote-compile request at
+    # million-node scale (same class of failure as the trainer fix)
     if use_plan:
         from subgraph_sketching_tpu.ops.segment_scan import make_auto_plan
         plan = make_auto_plan(np.asarray(nei), num_nodes,
                               max_slots=max_gather_slots)
         wslots = plan.stage_edge_data(np.asarray(nw))
-        prop = jax.jit(lambda v: plan.reduce(v, "add",
-                                             edge_data_slots=wslots))
+        prop_w = jax.jit(lambda v, w: plan.reduce(v, "add",
+                                                  edge_data_slots=w))
+        prop = lambda v: prop_w(v, wslots)
     else:
-        prop = jax.jit(lambda v: spmm(nei, nw, v, num_nodes))
+        prop_s = jax.jit(lambda v, a, b: spmm(a, b, v, num_nodes))
+        prop = lambda v: prop_s(v, nei, nw)
 
     if sign_k == 0:
         return np.asarray(prop(xj))
