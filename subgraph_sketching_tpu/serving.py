@@ -1,0 +1,110 @@
+"""Online link scoring (serving) — no reference equivalent.
+
+The reference stops at offline eval; this module serves arbitrary link
+queries against a trained BUDDY model with everything resident on device:
+the per-hop sketch stacks, the SIGN-propagated node features, degrees, and
+the trained parameters.  A query batch runs ONE jitted program — subgraph
+features straight from the sketches (identical math to preprocessing,
+including the zero-one knockout / floor, graph/preprocess.py:229-238),
+node-feature gathers, and the BUDDY MLP.
+
+Batch sizes are bucketed to powers of two so the compile set is bounded
+and per-bucket latency is stable — the standard padded-shape serving
+pattern for XLA.  Padded rows score (0, 0) links and are sliced off.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from subgraph_sketching_tpu.graph.preprocess import (
+    LinkDataset,
+    sketch_params_from_config,
+)
+from subgraph_sketching_tpu.sketch.elph import subgraph_features
+
+
+class LinkScorer:
+    """Serve scores for arbitrary (src, dst) pairs from a trained trainer.
+
+    Parameters
+    ----------
+    trainer: a BuddyTrainer (owns the flax model + config).
+    dataset: the train-split LinkDataset — must retain ``sketches`` (built
+        by ``build_link_dataset``) and carry x/degrees.
+    state: the trained TrainState.
+    min_bucket / max_bucket: query batches are padded up to the next power
+        of two within [min_bucket, max_bucket]; larger queries are chunked.
+    """
+
+    def __init__(self, trainer, dataset: LinkDataset, state,
+                 min_bucket: int = 1024, max_bucket: int = 1 << 18):
+        if dataset.sketches is None:
+            raise ValueError(
+                "serving needs the sketch stacks: build the dataset with "
+                "build_link_dataset (BUDDY path) so LinkDataset.sketches "
+                "is retained")
+        cfg = trainer.cfg
+        if cfg.use_RA:
+            raise NotImplementedError(
+                "RA features need a host CSR pass per query batch; train "
+                "the serving model with use_RA=False")
+        self.cfg = cfg
+        self.model = trainer.model
+        self.sketch_params = sketch_params_from_config(cfg)
+        self.state = state
+        self.sk = dataset.sketches
+        self.x = (jnp.asarray(dataset.x)
+                  if trainer.use_feature and dataset.x is not None else None)
+        self.deg = jnp.asarray(dataset.degrees, dtype=jnp.float32)
+        self.min_bucket = min_bucket
+        self.max_bucket = max_bucket
+        self._jit = jax.jit(self._score_batch)
+
+    # -- the one program ----------------------------------------------------
+    def _score_batch(self, params, batch_stats, links, sk, x, deg):
+        sf = subgraph_features(links, sk, self.sketch_params)
+        cfg = self.cfg
+        if cfg.floor_sf:
+            sf = jnp.maximum(sf, 0)
+        if not cfg.use_zero_one:
+            k = cfg.max_hash_hops
+            cols = [4, 5] if k == 2 else ([4, 5, 11, 12] if k == 3 else [])
+            if cols:
+                sf = sf.at[:, jnp.asarray(cols)].set(0.0)
+        variables = {"params": params, "batch_stats": batch_stats}
+        out = self.model.apply(
+            variables, links=links, edge_index=None, sf=sf,
+            node_features=None if x is None else x[links],
+            src_degree=deg[links[:, 0]], dst_degree=deg[links[:, 1]],
+            RA=None, training=False)
+        return out.ravel()
+
+    # -- public API ---------------------------------------------------------
+    def score(self, links: np.ndarray) -> np.ndarray:
+        """Scores (logits) for [B, 2] int link pairs, any B ≥ 1."""
+        links = np.asarray(links, dtype=np.int32)
+        n = len(links)
+        outs = []
+        for s0 in range(0, n, self.max_bucket):
+            chunk = links[s0:s0 + self.max_bucket]
+            bucket = self.min_bucket
+            while bucket < len(chunk):
+                bucket *= 2
+            pad = bucket - len(chunk)
+            if pad:
+                chunk = np.concatenate([chunk, np.zeros((pad, 2), np.int32)])
+            out = self._jit(self.state.params, self.state.batch_stats,
+                            jnp.asarray(chunk), self.sk, self.x, self.deg)
+            outs.append(np.asarray(out[:bucket - pad] if pad else out))
+        return np.concatenate(outs)
+
+    def warmup(self, buckets: Optional[list] = None) -> None:
+        """Pre-compile the given bucket sizes (default: min_bucket only) so
+        first-query latency is serving latency, not compile latency."""
+        for b in (buckets or [self.min_bucket]):
+            self.score(np.zeros((b, 2), np.int32))

@@ -1,0 +1,63 @@
+"""Online serving (serving.LinkScorer) — scores for arbitrary link queries
+must exactly match the offline predict path, across bucket padding and
+chunking."""
+
+import numpy as np
+import jax
+import pytest
+
+from subgraph_sketching_tpu.config import Config
+from subgraph_sketching_tpu.graph.datasets import get_data
+from subgraph_sketching_tpu.graph.preprocess import build_link_dataset
+from subgraph_sketching_tpu.serving import LinkScorer
+from subgraph_sketching_tpu.train.loops import BuddyTrainer
+
+
+@pytest.fixture(scope="module")
+def trained():
+    cfg = Config(dataset_name="synth-ws", hidden_channels=32, batch_size=512,
+                 eval_batch_size=4096, model="BUDDY", K=50, lr=0.003)
+    splits, _, _ = get_data(cfg)
+    ds = {k: build_link_dataset(sd, cfg, k) for k, sd in splits.items()}
+    tr = BuddyTrainer(cfg, ds["train"], ds["train"].x.shape[-1])
+    for s in ("valid", "test"):
+        tr.stage(s, ds[s])
+    state = tr.init_state(jax.random.PRNGKey(0))
+    for ep in range(2):
+        state, _ = tr.train_epoch(state, np.random.default_rng(ep),
+                                  jax.random.PRNGKey(ep))
+    return cfg, ds, tr, state
+
+
+def test_scorer_matches_offline_predict(trained):
+    cfg, ds, tr, state = trained
+    # score the valid split's links with a scorer built from the valid
+    # split's resident state (same message graph => identical math)
+    scorer = LinkScorer(tr, ds["valid"], state, min_bucket=64)
+    offline_pred, _ = tr.predict(state, "valid")
+    online_pred = scorer.score(ds["valid"].links)
+    np.testing.assert_allclose(online_pred, offline_pred, rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_bucketing_and_chunking_are_invisible(trained):
+    cfg, ds, tr, state = trained
+    scorer = LinkScorer(tr, ds["valid"], state, min_bucket=32,
+                        max_bucket=128)
+    links = ds["valid"].links[:300]          # forces 3 chunks + padding
+    got = scorer.score(links)
+    one = scorer.score(links[:1])            # B=1 pads to min_bucket
+    assert got.shape == (300,)
+    np.testing.assert_allclose(one, got[:1], rtol=1e-6, atol=1e-6)
+    # independent of query partitioning
+    again = np.concatenate([scorer.score(links[:111]),
+                            scorer.score(links[111:])])
+    np.testing.assert_allclose(again, got, rtol=1e-6, atol=1e-6)
+
+
+def test_scorer_requires_sketches(trained):
+    cfg, ds, tr, state = trained
+    import dataclasses
+    no_sk = dataclasses.replace(ds["valid"], sketches=None)
+    with pytest.raises(ValueError, match="sketch"):
+        LinkScorer(tr, no_sk, state)
