@@ -67,15 +67,10 @@ class LinkScorer:
 
     # -- the one program ----------------------------------------------------
     def _score_batch(self, params, batch_stats, links, sk, x, deg):
+        # zero-one knockout / floor are applied inside subgraph_features
+        # (sketch/elph.py:187-199) from the same SketchParams the
+        # preprocessing used, so online features match the staged ones
         sf = subgraph_features(links, sk, self.sketch_params)
-        cfg = self.cfg
-        if cfg.floor_sf:
-            sf = jnp.maximum(sf, 0)
-        if not cfg.use_zero_one:
-            k = cfg.max_hash_hops
-            cols = [4, 5] if k == 2 else ([4, 5, 11, 12] if k == 3 else [])
-            if cols:
-                sf = sf.at[:, jnp.asarray(cols)].set(0.0)
         variables = {"params": params, "batch_stats": batch_stats}
         out = self.model.apply(
             variables, links=links, edge_index=None, sf=sf,
@@ -108,3 +103,66 @@ class LinkScorer:
         first-query latency is serving latency, not compile latency."""
         for b in (buckets or [self.min_bucket]):
             self.score(np.zeros((b, 2), np.int32))
+
+
+class ElphLinkScorer:
+    """Serve scores from a trained ELPH: the full-graph GCN runs ONCE at
+    construction (eval mode, reference get_elph_preds inference.py:167-205)
+    and its node representations stay resident; each query batch then
+    computes subgraph features from the (deterministically rebuilt) sketch
+    stacks and runs the LinkPredictor head.  Same bucketing contract as
+    LinkScorer."""
+
+    def __init__(self, trainer, state, split: str = "train",
+                 min_bucket: int = 1024, max_bucket: int = 1 << 18):
+        from subgraph_sketching_tpu.ops.segment_scan import make_auto_plan
+        from subgraph_sketching_tpu.sketch.elph import build_hash_tables
+
+        cfg = trainer.cfg
+        self.cfg = cfg
+        self.sketch_params = trainer.sketch_params
+        data = trainer._data[split]
+        num_nodes = data["num_nodes"]
+        ei = np.asarray(data["edge_index"])
+        plan = (make_auto_plan(ei, num_nodes,
+                               max_slots=cfg.max_gather_slots)
+                if cfg.use_plan else None)
+        self.sk = build_hash_tables(jnp.asarray(ei), num_nodes,
+                                    self.sketch_params, plan=plan)
+        feats, _ = trainer._node_feats(state.params["gnn"],
+                                       state.batch_stats["gnn"], data, False)
+        self.feats = feats
+        self.emb_table = (state.params["node_embedding"]
+                          if trainer.use_embedding else None)
+        self.predictor = trainer.predictor
+        self.pred_params = state.params["predictor"]
+        self.pred_bs = state.batch_stats["predictor"]
+        self.min_bucket = min_bucket
+        self.max_bucket = max_bucket
+        self._jit = jax.jit(self._score_batch)
+
+    def _score_batch(self, params, batch_stats, links, sk, feats, emb_table):
+        sf = subgraph_features(links, sk, self.sketch_params)
+        nf = feats[links] if feats is not None else None
+        emb = emb_table[links] if emb_table is not None else None
+        return self.predictor.apply(
+            {"params": params, "batch_stats": batch_stats}, sf, nf, emb,
+            training=False).ravel()
+
+    def score(self, links: np.ndarray) -> np.ndarray:
+        links = np.asarray(links, dtype=np.int32)
+        n = len(links)
+        outs = []
+        for s0 in range(0, n, self.max_bucket):
+            chunk = links[s0:s0 + self.max_bucket]
+            bucket = self.min_bucket
+            while bucket < len(chunk):
+                bucket *= 2
+            pad = bucket - len(chunk)
+            if pad:
+                chunk = np.concatenate([chunk, np.zeros((pad, 2), np.int32)])
+            out = self._jit(self.pred_params, self.pred_bs,
+                            jnp.asarray(chunk), self.sk, self.feats,
+                            self.emb_table)
+            outs.append(np.asarray(out[:bucket - pad] if pad else out))
+        return np.concatenate(outs)

@@ -61,3 +61,27 @@ def test_scorer_requires_sketches(trained):
     no_sk = dataclasses.replace(ds["valid"], sketches=None)
     with pytest.raises(ValueError, match="sketch"):
         LinkScorer(tr, no_sk, state)
+
+
+def test_elph_scorer_matches_offline_predict():
+    from subgraph_sketching_tpu.graph.preprocess import (
+        sketch_params_from_config,
+    )
+    from subgraph_sketching_tpu.serving import ElphLinkScorer
+    from subgraph_sketching_tpu.train.loops import ElphTrainer
+
+    cfg = Config(dataset_name="synth-ws", hidden_channels=32, batch_size=512,
+                 eval_batch_size=4096, model="ELPH", K=50, lr=0.003)
+    splits, _, _ = get_data(cfg)
+    ds = {k: build_link_dataset(sd, cfg, k) for k, sd in splits.items()}
+    tr = ElphTrainer(cfg, ds["train"], sketch_params_from_config(cfg),
+                     ds["train"].x.shape[-1])
+    tr.stage("valid", ds["valid"])
+    state = tr.init_state(jax.random.PRNGKey(0))
+    state, _ = tr.train_epoch(state, np.random.default_rng(0),
+                              jax.random.PRNGKey(0))
+    scorer = ElphLinkScorer(tr, state, split="valid", min_bucket=64)
+    offline_pred, _ = tr.predict(state, "valid")
+    online_pred = scorer.score(ds["valid"].links)
+    np.testing.assert_allclose(online_pred, offline_pred, rtol=1e-5,
+                               atol=1e-5)
