@@ -84,8 +84,9 @@ class KgeTrainer:
             return -(jax.nn.log_sigmoid(pos_score).mean()
                      + neg_term.mean()) / 2
 
+        import optax
+
         def epoch(state: TrainState, rng: jax.Array, pos_all):
-            import optax
             pk, nk1, nk2 = jax.random.split(rng, 3)
             perm = jax.random.permutation(pk, pos_all.shape[0])
 
@@ -100,7 +101,8 @@ class KgeTrainer:
                             opt_state), loss
                 return step
 
-            # even batches corrupt heads, odd batches corrupt tails
+            # first half of the shuffled batches corrupts heads, the second
+            # half tails (corruption mode is static per compiled scan)
             losses = []
             carry = (state.params, state.opt_state)
             for mode, key, lo, k in (("head-batch", nk1, 0, half),
