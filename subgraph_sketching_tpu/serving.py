@@ -132,7 +132,11 @@ class ElphLinkScorer:
         feats, _ = trainer._node_feats(state.params["gnn"],
                                        state.batch_stats["gnn"], data, False)
         self.feats = feats
-        self.emb_table = (state.params["node_embedding"]
+        # resolve the (possibly SIGN-diffused) embedding table once; queries
+        # then only gather rows (reference inference.py:179-180)
+        self.emb_table = (trainer._emb_rows(state.params["embedding"],
+                                            state.batch_stats["embedding"],
+                                            None, data, False)[0]
                           if trainer.use_embedding else None)
         self.predictor = trainer.predictor
         self.pred_params = state.params["predictor"]

@@ -406,6 +406,37 @@ class BuddyTrainer:
 
 # ------------------------------------------------------------------- ELPH --
 
+class ElphEmbedding(nn.Module):
+    """Trainable transductive node-embedding table for the ELPH path
+    (reference select_embedding, utils.py:46-63).  With ``propagate=True``
+    the table is SIGN-diffused over the normalised adjacency before lookup
+    (reference propagate_embeddings_func, models/elph.py:148-151, invoked
+    per batch in train_elph, runners/train.py:191-192 — the ogbl-ddi
+    configuration where nodes have no features)."""
+
+    num_nodes: int
+    hidden_channels: int
+    propagate: bool = False
+    sign_k: int = 1
+    sign_dropout: float = 0.5
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, links=None, edge_index=None, mask=None,
+                 *, training: bool = False):
+        from subgraph_sketching_tpu.models.gnn import SIGNEmbedding
+
+        table = self.param("node_embedding", nn.initializers.xavier_uniform(),
+                           (self.num_nodes, self.hidden_channels))
+        if self.propagate and edge_index is not None:
+            table = SIGNEmbedding(self.hidden_channels, self.hidden_channels,
+                                  self.sign_k, self.sign_dropout,
+                                  dtype=self.dtype, name="sign_embedding")(
+                table, edge_index, self.num_nodes, mask=mask,
+                training=training)
+        return table if links is None else table[links]
+
+
 class ElphTrainer:
     """ELPH: full-graph GCN encoder inside the loss + precomputed sketches.
 
@@ -430,6 +461,11 @@ class ElphTrainer:
             sketch_params.sf_dim, cfg.hidden_channels, use_feature,
             self.use_embedding, cfg.label_dropout, cfg.feature_dropout,
             _dtype_from_cfg(cfg))
+        self.embedding = (ElphEmbedding(
+            dataset.num_nodes, cfg.hidden_channels,
+            propagate=cfg.propagate_embeddings, sign_k=max(cfg.sign_k, 1),
+            sign_dropout=cfg.sign_dropout, dtype=_dtype_from_cfg(cfg))
+            if self.use_embedding else None)
         self.optimizer = make_optimizer(cfg)
         self.loss_fn = get_loss(cfg.loss)
         # DP over the link batch; with "graph"/"lane" mesh axes the sketch
@@ -536,21 +572,41 @@ class ElphTrainer:
         sf0 = data["sf"][:2]
         nf0 = feats[links0] if feats is not None else None
         emb0 = None
-        emb_table = None
+        emb_vars = {}
         if self.use_embedding:
-            # trainable transductive embeddings (reference select_embedding,
-            # utils.py:46-63; spliced into the ELPH predictor path)
-            emb_table = jax.nn.initializers.xavier_uniform()(
-                rng, (self.num_nodes, self.cfg.hidden_channels))
-            emb0 = emb_table[links0]
+            emb_vars = self.embedding.init(
+                {"params": rng, "dropout": rng}, links0,
+                edge_index=data["edge_index"], mask=data.get("mask"),
+                training=False)
+            emb0 = self._emb_rows(emb_vars["params"],
+                                  emb_vars.get("batch_stats", {}),
+                                  links0, data, False)[0]
         pred_vars = self.predictor.init({"params": rng, "dropout": rng}, sf0,
                                         nf0, emb0, training=False)
-        params = {"gnn": gnn_vars["params"], "predictor": pred_vars["params"]}
+        # the GCN side has no parameters when use_feature=False (the
+        # ogbl-ddi configuration: sketches + embeddings only)
+        params = {"gnn": gnn_vars.get("params", {}),
+                  "predictor": pred_vars["params"]}
         if self.use_embedding:
-            params["node_embedding"] = emb_table
+            params["embedding"] = emb_vars["params"]
         batch_stats = {"gnn": gnn_vars.get("batch_stats", {}),
-                       "predictor": pred_vars.get("batch_stats", {})}
+                       "predictor": pred_vars.get("batch_stats", {}),
+                       "embedding": emb_vars.get("batch_stats", {})}
         return TrainState(params, batch_stats, self.optimizer.init(params))
+
+    def _emb_rows(self, params, batch_stats, links, data, training,
+                  dropout_rng=None):
+        """Per-link embedding rows, SIGN-diffusing the table first when
+        ``--propagate_embeddings`` (reference runners/train.py:191-192)."""
+        variables = {"params": params, "batch_stats": batch_stats}
+        kwargs = dict(edge_index=data.get("edge_index"),
+                      mask=data.get("mask"), training=training)
+        if training:
+            rows, updates = self.embedding.apply(
+                variables, links, mutable=["batch_stats"],
+                rngs={"dropout": dropout_rng}, **kwargs)
+            return rows, updates["batch_stats"]
+        return self.embedding.apply(variables, links, **kwargs), batch_stats
 
     def _train_epoch_fn(self, n_used: int, steps: int):
         # staged arrays ride as a jit argument (see BuddyTrainer: closure
@@ -568,7 +624,7 @@ class ElphTrainer:
 
             def step(carry, idx):
                 st, key = carry
-                key, k1, k2 = jax.random.split(key, 3)
+                key, k1, k2, k3 = jax.random.split(key, 4)
                 safe = jnp.maximum(idx, 0)
                 links_b = data["links"][safe]
                 sf_b = data["sf"][safe]
@@ -579,8 +635,12 @@ class ElphTrainer:
                     feats, new_gnn_bs = self._node_feats(
                         params["gnn"], st.batch_stats["gnn"], data, True, k1)
                     nf = feats[links_b] if feats is not None else None
-                    emb_b = (params["node_embedding"][links_b]
-                             if self.use_embedding else None)
+                    emb_b, new_emb_bs = None, st.batch_stats["embedding"]
+                    if self.use_embedding:
+                        emb_b, new_emb_bs = self._emb_rows(
+                            params["embedding"],
+                            st.batch_stats["embedding"], links_b, data,
+                            True, k3)
                     pv = {"params": params["predictor"],
                           "batch_stats": st.batch_stats["predictor"]}
                     logits, updates = self.predictor.apply(
@@ -588,7 +648,8 @@ class ElphTrainer:
                         mutable=["batch_stats"], rngs={"dropout": k2})
                     loss = self.loss_fn(logits, labels_b, mask)
                     return loss, {"gnn": new_gnn_bs,
-                                  "predictor": updates["batch_stats"]}
+                                  "predictor": updates["batch_stats"],
+                                  "embedding": new_emb_bs}
 
                 (loss, new_bs), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(st.params)
@@ -634,13 +695,22 @@ class ElphTrainer:
         n = len(sel)
         bs = min(self.cfg.eval_batch_size, max(1, n))
 
+        emb_table = None
+        if self.use_embedding:
+            # diffuse the table once per predict, then gather per batch
+            # (reference get_elph_preds, inference.py:179-180)
+            emb_table = self._emb_rows(state.params["embedding"],
+                                       state.batch_stats["embedding"],
+                                       None, data, False)[0]
+
         if not hasattr(self, "_score_jit"):
             # state/feats are traced args so eval compiles once, not per
             # split per epoch
-            def _score(params, batch_stats, feats_, links_b, sf_b):
+            def _score(params, batch_stats, feats_, emb_table_, links_b,
+                       sf_b):
                 nf = feats_[links_b] if feats_ is not None else None
-                emb_b = (params["node_embedding"][links_b]
-                         if self.use_embedding else None)
+                emb_b = (emb_table_[links_b]
+                         if emb_table_ is not None else None)
                 pv = {"params": params["predictor"],
                       "batch_stats": batch_stats["predictor"]}
                 return self.predictor.apply(pv, sf_b, nf, emb_b,
@@ -649,7 +719,7 @@ class ElphTrainer:
 
         def score(links_b, sf_b):
             return self._score_jit(state.params, state.batch_stats, feats,
-                                   links_b, sf_b)
+                                   emb_table, links_b, sf_b)
 
         preds = []
         # dispatch all batches, then materialise (no per-batch host sync)

@@ -114,6 +114,31 @@ def test_elph_end_to_end_run():
     assert 0.0 <= results[0][1] <= 1.0
 
 
+@pytest.mark.parametrize("model", ["BUDDY", "ELPH"])
+def test_ddi_shape_config_end_to_end(model):
+    """The ogbl-ddi configuration shape (reference README ddi commands):
+    no node features, trainable transductive embeddings, SIGN-diffused
+    before lookup (--use_feature 0 --train_node_embedding
+    --propagate_embeddings).  Regression: ELPH init_state crashed when the
+    featureless GCN side had no params."""
+    from subgraph_sketching_tpu.runners.run import run
+    cfg = small_cfg(dataset_name="synth-er", model=model, epochs=1,
+                    hidden_channels=8, batch_size=128, eval_batch_size=256,
+                    use_feature=False, train_node_embedding=True,
+                    propagate_embeddings=True, sign_k=1)
+    results = run(cfg)
+    assert 0.0 <= results[0][1] <= 1.0
+
+
+def test_mrr_metric_through_runner():
+    """--eval_metric mrr end-to-end (the citation2 protocol shape)."""
+    from subgraph_sketching_tpu.runners.run import run
+    cfg = small_cfg(dataset_name="synth-er", epochs=1, hidden_channels=8,
+                    batch_size=128, eval_batch_size=256, eval_metric="mrr")
+    results = run(cfg)
+    assert 0.0 <= results[0][1] <= 1.0
+
+
 def test_buddy_learns_on_easy_graph():
     """BUDDY should beat random AUC quickly on a BA graph where structure
     features are highly informative."""

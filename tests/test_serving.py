@@ -63,7 +63,11 @@ def test_scorer_requires_sketches(trained):
         LinkScorer(tr, no_sk, state)
 
 
-def test_elph_scorer_matches_offline_predict():
+@pytest.mark.parametrize("with_embedding", [False, True])
+def test_elph_scorer_matches_offline_predict(with_embedding):
+    """with_embedding=True also covers the ogbl-ddi shape: trainable
+    transductive embeddings SIGN-diffused before lookup — the scorer must
+    resolve the diffused table, not the raw parameter."""
     from subgraph_sketching_tpu.graph.preprocess import (
         sketch_params_from_config,
     )
@@ -71,7 +75,10 @@ def test_elph_scorer_matches_offline_predict():
     from subgraph_sketching_tpu.train.loops import ElphTrainer
 
     cfg = Config(dataset_name="synth-ws", hidden_channels=32, batch_size=512,
-                 eval_batch_size=4096, model="ELPH", K=50, lr=0.003)
+                 eval_batch_size=4096, model="ELPH", K=50, lr=0.003,
+                 train_node_embedding=with_embedding,
+                 propagate_embeddings=with_embedding,
+                 use_feature=not with_embedding)
     splits, _, _ = get_data(cfg)
     ds = {k: build_link_dataset(sd, cfg, k) for k, sd in splits.items()}
     tr = ElphTrainer(cfg, ds["train"], sketch_params_from_config(cfg),
