@@ -146,6 +146,12 @@ class Config:
         if self.dataset_name == "ogbl-ddi":
             # ddi has no node features (run.py:264-266)
             self.use_feature = False
+        if self.train_node_embedding and self.pretrained_node_embedding:
+            # mutually exclusive table sources (reference select_embedding,
+            # utils.py:56-60, silently prefers the trainable one)
+            raise ValueError("--train_node_embedding and "
+                             "--pretrained_node_embedding are mutually "
+                             "exclusive")
 
     # -- serialisation ------------------------------------------------------
     def to_json(self) -> str:

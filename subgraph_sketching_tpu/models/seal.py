@@ -110,6 +110,11 @@ class _SealBase(nn.Module):
     use_feature: bool = False
     dropout: float = 0.5
     dtype: Optional[jnp.dtype] = None  # compute dtype; logits return f32
+    # trainable transductive node embeddings — "the E in SEAL" (reference
+    # select_embedding utils.py:46-63, consumed at seal.py:80-81); a frozen
+    # pretrained table instead rides in ``batch["node_emb"]``
+    use_node_embedding: bool = False
+    num_nodes: int = 0
 
     def embed_inputs(self, batch):
         # clamp labels into the embedding table: disconnected node pairs can
@@ -124,6 +129,13 @@ class _SealBase(nn.Module):
         x = z_emb
         if self.use_feature and batch.get("x") is not None:
             x = jnp.concatenate([z_emb, batch["x"]], axis=-1)
+        if self.use_node_embedding:
+            ids = jnp.maximum(batch["node_ids"], 0)  # -1 pads -> row 0
+            n_emb = nn.Embed(self.num_nodes, self.hidden_channels,
+                             name="node_embedding", dtype=self.dtype)(ids)
+            x = jnp.concatenate([x, n_emb], axis=-1)
+        elif batch.get("node_emb") is not None:  # frozen pretrained rows
+            x = jnp.concatenate([x, batch["node_emb"]], axis=-1)
         return x * batch["node_mask"][..., None]
 
 

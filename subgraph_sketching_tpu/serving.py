@@ -61,19 +61,31 @@ class LinkScorer:
         self.x = (jnp.asarray(dataset.x)
                   if trainer.use_feature and dataset.x is not None else None)
         self.deg = jnp.asarray(dataset.degrees, dtype=jnp.float32)
+        # resolve the node-embedding table ONCE (trainable or pretrained,
+        # SIGN-diffused if --propagate_embeddings); query batches then pass
+        # it back as frozen_table and only gather rows
+        self.emb_table = None
+        if trainer.use_embedding:
+            self.emb_table = trainer.model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                edge_index=trainer._data["train"].get("edge_index"),
+                frozen_table=trainer.frozen_emb, return_table=True,
+                training=False)
         self.min_bucket = min_bucket
         self.max_bucket = max_bucket
         self._jit = jax.jit(self._score_batch)
 
     # -- the one program ----------------------------------------------------
-    def _score_batch(self, params, batch_stats, links, sk, x, deg):
+    def _score_batch(self, params, batch_stats, links, sk, x, deg,
+                     emb_table):
         # zero-one knockout / floor are applied inside subgraph_features
         # (sketch/elph.py:187-199) from the same SketchParams the
         # preprocessing used, so online features match the staged ones
         sf = subgraph_features(links, sk, self.sketch_params)
         variables = {"params": params, "batch_stats": batch_stats}
         out = self.model.apply(
-            variables, links=links, edge_index=None, sf=sf,
+            variables, links=links, edge_index=None, frozen_table=emb_table,
+            sf=sf,
             node_features=None if x is None else x[links],
             src_degree=deg[links[:, 0]], dst_degree=deg[links[:, 1]],
             RA=None, training=False)
@@ -94,7 +106,8 @@ class LinkScorer:
             if pad:
                 chunk = np.concatenate([chunk, np.zeros((pad, 2), np.int32)])
             out = self._jit(self.state.params, self.state.batch_stats,
-                            jnp.asarray(chunk), self.sk, self.x, self.deg)
+                            jnp.asarray(chunk), self.sk, self.x, self.deg,
+                            self.emb_table)
             outs.append(np.asarray(out[:bucket - pad] if pad else out))
         return np.concatenate(outs)
 

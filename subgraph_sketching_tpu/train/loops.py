@@ -53,6 +53,17 @@ def _dtype_from_cfg(cfg: Config):
     return jnp.dtype(cfg.dtype)
 
 
+def _load_frozen_embedding(cfg: Config, num_nodes: int):
+    """Pretrained (frozen) node-embedding table, or None (reference
+    select_embedding, utils.py:57-60).  Frozen tables ride as data, not
+    params, so they take no gradient and no optimizer state."""
+    if cfg.pretrained_node_embedding is None:
+        return None
+    from subgraph_sketching_tpu.utils import load_pretrained_embedding
+    return jnp.asarray(load_pretrained_embedding(
+        cfg.pretrained_node_embedding, num_nodes))
+
+
 def _mesh_from_cfg(cfg: Config):
     if not cfg.mesh_shape:
         return None
@@ -164,21 +175,32 @@ class BuddyWithEmbedding(nn.Module):
 
     @nn.compact
     def __call__(self, links=None, edge_index=None, num_nodes=None,
+                 frozen_table=None, return_table: bool = False,
                  *, training: bool = False, **kwargs):
         from subgraph_sketching_tpu.models.gnn import SIGNEmbedding
 
         emb = None
+        table = None
         if self.use_embedding:
-            table = self.param(
-                "node_embedding", nn.initializers.xavier_uniform(),
-                (self.num_nodes, self.hidden_channels))
+            # a pretrained table rides as data (frozen, reference
+            # select_embedding utils.py:57-60); otherwise it is a parameter
+            table = (frozen_table if frozen_table is not None else
+                     self.param(
+                         "node_embedding", nn.initializers.xavier_uniform(),
+                         (self.num_nodes, self.hidden_channels)))
             if self.propagate and edge_index is not None:
                 table = SIGNEmbedding(self.hidden_channels,
                                       self.hidden_channels, self.sign_k,
                                       self.sign_dropout, dtype=self.dtype,
                                       name="sign_embedding")(
                     table, edge_index, self.num_nodes, training=training)
-            emb = table[links]
+            if not return_table:
+                emb = table[links]
+        if return_table:
+            # serving resolves the (possibly diffused) table once, then
+            # passes it back as frozen_table with edge_index=None so query
+            # batches only gather rows
+            return table
         return self.buddy(emb=emb, training=training, **kwargs)
 
 
@@ -189,7 +211,9 @@ class BuddyTrainer:
                  num_features: Optional[int]):
         self.cfg = cfg
         use_feature = cfg.use_feature and dataset.x is not None
-        self.use_embedding = cfg.train_node_embedding
+        self.use_embedding = (cfg.train_node_embedding
+                              or cfg.pretrained_node_embedding is not None)
+        self.frozen_emb = _load_frozen_embedding(cfg, dataset.num_nodes)
         buddy = BUDDY(
             sf_dim=cfg.sf_dim,
             hidden_channels=cfg.hidden_channels,
@@ -248,6 +272,8 @@ class BuddyTrainer:
         self._sf_dim = sf.shape[1]
         if self.use_embedding and self.cfg.propagate_embeddings:
             d["edge_index"] = jnp.asarray(ds.edge_index)
+        if self.frozen_emb is not None:
+            d["frozen_emb"] = self.frozen_emb
         if self.use_feature:
             d["x"] = jnp.asarray(ds.x)
         d = {k: self._replicate(v) for k, v in d.items()}
@@ -269,6 +295,8 @@ class BuddyTrainer:
         }
         if self.use_embedding and self.cfg.propagate_embeddings:
             batch["edge_index"] = data["edge_index"]
+        if "frozen_emb" in data:
+            batch["frozen_emb"] = data["frozen_emb"]
         if self.cfg.use_struct_feature is False:
             batch["sf"] = jnp.zeros_like(batch["sf"])
         if self.use_feature:
@@ -282,6 +310,7 @@ class BuddyTrainer:
         kwargs = dict(
             links=batch["links"],
             edge_index=batch.get("edge_index"),
+            frozen_table=batch.get("frozen_emb"),
             sf=batch["sf"],
             node_features=batch.get("node_features"),
             src_degree=batch["src_degree"],
@@ -304,6 +333,7 @@ class BuddyTrainer:
         variables = self.model.init(
             {"params": rng, "dropout": rng},
             links=batch["links"], edge_index=batch.get("edge_index"),
+            frozen_table=batch.get("frozen_emb"),
             sf=batch["sf"], node_features=batch.get("node_features"),
             src_degree=batch["src_degree"], dst_degree=batch["dst_degree"],
             RA=batch.get("RA"), training=False)
@@ -423,11 +453,13 @@ class ElphEmbedding(nn.Module):
 
     @nn.compact
     def __call__(self, links=None, edge_index=None, mask=None,
-                 *, training: bool = False):
+                 frozen_table=None, *, training: bool = False):
         from subgraph_sketching_tpu.models.gnn import SIGNEmbedding
 
-        table = self.param("node_embedding", nn.initializers.xavier_uniform(),
-                           (self.num_nodes, self.hidden_channels))
+        table = (frozen_table if frozen_table is not None else
+                 self.param("node_embedding",
+                            nn.initializers.xavier_uniform(),
+                            (self.num_nodes, self.hidden_channels)))
         if self.propagate and edge_index is not None:
             table = SIGNEmbedding(self.hidden_channels, self.hidden_channels,
                                   self.sign_k, self.sign_dropout,
@@ -452,7 +484,9 @@ class ElphTrainer:
         self.sketch_params = sketch_params
         use_feature = cfg.use_feature and dataset.x is not None
         self.use_feature = use_feature
-        self.use_embedding = cfg.train_node_embedding
+        self.use_embedding = (cfg.train_node_embedding
+                              or cfg.pretrained_node_embedding is not None)
+        self.frozen_emb = _load_frozen_embedding(cfg, dataset.num_nodes)
         self.num_nodes = dataset.num_nodes
         self.gnn = ELPH(sketch_params, cfg.hidden_channels, use_feature,
                         cfg.feature_prop, cfg.feature_dropout,
@@ -538,6 +572,8 @@ class ElphTrainer:
         else:
             d["edge_index"] = _replicate_on(self.mesh, jnp.asarray(ei))
             d["edge_weight"] = _replicate_on(self.mesh, jnp.asarray(w))
+        if self.frozen_emb is not None:
+            d["frozen_emb"] = _replicate_on(self.mesh, self.frozen_emb)
         if self.use_feature:
             d["x"] = _replicate_on(self.mesh, jnp.asarray(ds.x))
         self._data[split] = d
@@ -577,8 +613,8 @@ class ElphTrainer:
             emb_vars = self.embedding.init(
                 {"params": rng, "dropout": rng}, links0,
                 edge_index=data["edge_index"], mask=data.get("mask"),
-                training=False)
-            emb0 = self._emb_rows(emb_vars["params"],
+                frozen_table=data.get("frozen_emb"), training=False)
+            emb0 = self._emb_rows(emb_vars.get("params", {}),
                                   emb_vars.get("batch_stats", {}),
                                   links0, data, False)[0]
         pred_vars = self.predictor.init({"params": rng, "dropout": rng}, sf0,
@@ -588,7 +624,9 @@ class ElphTrainer:
         params = {"gnn": gnn_vars.get("params", {}),
                   "predictor": pred_vars["params"]}
         if self.use_embedding:
-            params["embedding"] = emb_vars["params"]
+            # frozen table + no diffusion => the embedding side may have no
+            # params at all
+            params["embedding"] = emb_vars.get("params", {})
         batch_stats = {"gnn": gnn_vars.get("batch_stats", {}),
                        "predictor": pred_vars.get("batch_stats", {}),
                        "embedding": emb_vars.get("batch_stats", {})}
@@ -600,7 +638,9 @@ class ElphTrainer:
         ``--propagate_embeddings`` (reference runners/train.py:191-192)."""
         variables = {"params": params, "batch_stats": batch_stats}
         kwargs = dict(edge_index=data.get("edge_index"),
-                      mask=data.get("mask"), training=training)
+                      mask=data.get("mask"),
+                      frozen_table=data.get("frozen_emb"),
+                      training=training)
         if training:
             rows, updates = self.embedding.apply(
                 variables, links, mutable=["batch_stats"],

@@ -47,6 +47,8 @@ def build_seal_model(cfg: Config, train_dataset: SEALDataset,
     common = dict(hidden_channels=cfg.hidden_channels,
                   num_layers=cfg.num_seal_layers, max_z=cfg.max_z,
                   use_feature=use_feature, dropout=cfg.dropout,
+                  use_node_embedding=cfg.train_node_embedding,
+                  num_nodes=train_dataset.A.shape[0],
                   dtype=_dtype_from_cfg(cfg))
     if cfg.model == "SEALDGCNN":
         return SEALDGCNN(**common, k=_dgcnn_k(train_dataset, cfg.sortpool_k))
@@ -67,6 +69,9 @@ class SealTrainer:
         self.cfg = cfg
         self.datasets = datasets
         self.model = build_seal_model(cfg, datasets["train"], num_features)
+        from subgraph_sketching_tpu.train.loops import _load_frozen_embedding
+        self.frozen_emb = _load_frozen_embedding(
+            cfg, datasets["train"].A.shape[0])
         self.optimizer = make_optimizer(cfg)
         self.loss_fn = get_loss(cfg.loss)
 
@@ -78,6 +83,13 @@ class SealTrainer:
                  "edge_mask": jnp.asarray(raw.edge_mask)}
         if raw.x is not None:
             batch["x"] = jnp.asarray(raw.x)
+        if self.model.use_node_embedding:
+            batch["node_ids"] = jnp.asarray(raw.node_ids)
+        elif self.frozen_emb is not None:
+            # frozen pretrained rows gathered by global node id (reference
+            # seal.py:80-81; -1 padding -> row 0, masked out downstream)
+            ids = jnp.asarray(np.maximum(raw.node_ids, 0))
+            batch["node_emb"] = self.frozen_emb[ids]
         return batch, jnp.asarray(raw.y)
 
     def init_state(self, rng: jax.Array) -> TrainState:

@@ -49,3 +49,26 @@ def neighbors(fringe, A, outgoing: bool = True):
     if outgoing:
         return set(A[list(fringe)].indices)
     return set(A[:, list(fringe)].indices)
+
+
+def load_pretrained_embedding(path: str, num_nodes=None) -> "np.ndarray":
+    """Load a frozen node-embedding table (reference utils.py:57-60 loads a
+    torch-saved weight and freezes it).  Accepts .npy, .npz (first array),
+    or a torch-serialised tensor."""
+    import numpy as np
+    if path.endswith(".npz"):
+        with np.load(path) as z:
+            w = z[z.files[0]]
+    elif path.endswith(".npy"):
+        w = np.load(path)
+    else:
+        import torch
+        w = torch.load(path, map_location="cpu", weights_only=True)
+        w = w.detach().numpy() if hasattr(w, "detach") else np.asarray(w)
+    w = np.asarray(w, dtype=np.float32)
+    if w.ndim != 2:
+        raise ValueError(f"embedding table must be 2-D, got {w.shape}")
+    if num_nodes is not None and w.shape[0] != num_nodes:
+        raise ValueError(f"embedding table has {w.shape[0]} rows for "
+                         f"{num_nodes} nodes ({path})")
+    return w

@@ -114,13 +114,14 @@ def test_elph_end_to_end_run():
     assert 0.0 <= results[0][1] <= 1.0
 
 
-@pytest.mark.parametrize("model", ["BUDDY", "ELPH"])
+@pytest.mark.parametrize("model", ["BUDDY", "ELPH", "SEALGCN"])
 def test_ddi_shape_config_end_to_end(model):
     """The ogbl-ddi configuration shape (reference README ddi commands):
-    no node features, trainable transductive embeddings, SIGN-diffused
-    before lookup (--use_feature 0 --train_node_embedding
-    --propagate_embeddings).  Regression: ELPH init_state crashed when the
-    featureless GCN side had no params."""
+    no node features, trainable transductive embeddings ("the E in SEAL"),
+    SIGN-diffused before lookup for BUDDY/ELPH (--use_feature 0
+    --train_node_embedding --propagate_embeddings).  Regression: ELPH
+    init_state crashed when the featureless GCN side had no params; SEAL
+    models ignored the embedding entirely."""
     from subgraph_sketching_tpu.runners.run import run
     cfg = small_cfg(dataset_name="synth-er", model=model, epochs=1,
                     hidden_channels=8, batch_size=128, eval_batch_size=256,
@@ -128,6 +129,37 @@ def test_ddi_shape_config_end_to_end(model):
                     propagate_embeddings=True, sign_k=1)
     results = run(cfg)
     assert 0.0 <= results[0][1] <= 1.0
+
+
+def test_pretrained_frozen_embedding(tmp_path):
+    """--pretrained_node_embedding loads a frozen table (reference
+    select_embedding, utils.py:57-60): BUDDY/ELPH/SEAL all consume it, and
+    it is data, not a parameter (no gradient, no optimizer state)."""
+    from subgraph_sketching_tpu.runners.run import run
+    from subgraph_sketching_tpu.train.loops import BuddyTrainer
+
+    w = np.random.default_rng(0).normal(size=(1000, 8)).astype(np.float32)
+    path = str(tmp_path / "emb.npy")
+    np.save(path, w)
+    for model in ("BUDDY", "ELPH", "SEALGCN"):
+        cfg = small_cfg(dataset_name="synth-er", model=model, epochs=1,
+                        hidden_channels=8, batch_size=128,
+                        eval_batch_size=256, train_samples=128,
+                        pretrained_node_embedding=path)
+        res = run(cfg)
+        assert 0.0 <= res[0][1] <= 1.0
+
+    cfg = small_cfg(dataset_name="synth-er", model="BUDDY", epochs=1,
+                    hidden_channels=8, batch_size=128, eval_batch_size=256,
+                    pretrained_node_embedding=path)
+    splits, _, _ = get_data(cfg)
+    ds = build_link_dataset(splits["train"], cfg, "train")
+    tr = BuddyTrainer(cfg, ds, ds.x.shape[-1])
+    state = tr.init_state(jax.random.PRNGKey(0))
+    assert "node_embedding" not in state.params
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        small_cfg(train_node_embedding=True, pretrained_node_embedding=path)
 
 
 def test_mrr_metric_through_runner():
