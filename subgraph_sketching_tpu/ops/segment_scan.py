@@ -19,6 +19,7 @@ Used for minhash (min, uint32), HLL (max, int8) and weighted SpMM
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional
 
 import jax
@@ -224,20 +225,26 @@ class SortedSegmentPlan:
         return jnp.asarray(wz[self._slot_edge])
 
     def reduce(self, x: jnp.ndarray, op: str,
-               edge_data_slots: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+               edge_data_slots: Optional[jnp.ndarray] = None,
+               tables: Optional[tuple] = None) -> jnp.ndarray:
         """min/max: out[v] = op(x[v], in-neighbour rows) — closed
         neighbourhood, matching sketch propagation (self always included).
         add: out[v] = sum over in-edges of w_e * x[src_e] (SpMM; self NOT
         included — put self-loops in the edge list).
         ``edge_data_slots`` comes from ``stage_edge_data``.
+        ``tables`` optionally supplies (gather_idx, sub_dst) as traced jit
+        ARGUMENTS — at scale the implicit device tables become executable
+        constants that overflow the remote compiler (HTTP 413).
         """
         if self.num_subruns == 0:
             return x if op != "add" else jnp.zeros_like(x)
+        gidx, sdst = tables if tables is not None else (self.gather_idx,
+                                                        self.sub_dst)
         combine = {"min": jnp.minimum, "max": jnp.maximum, "add": jnp.add}[op]
         ident = _identity_for(op, np.dtype(x.dtype))
         rows = jnp.concatenate(
             [x, jnp.full((1,) + x.shape[1:], ident, dtype=x.dtype)], axis=0)
-        v = rows[self.gather_idx]                       # [S * L, W]
+        v = rows[gidx]                                  # [S * L, W]
         if edge_data_slots is not None:
             w = edge_data_slots
             v = v * w.reshape((-1,) + (1,) * (v.ndim - 1)).astype(v.dtype)
@@ -249,7 +256,7 @@ class SortedSegmentPlan:
         v = red(v, axis=1)                              # [S, W]
         seg = {"min": jax.ops.segment_min, "max": jax.ops.segment_max,
                "add": jax.ops.segment_sum}[op]
-        agg = seg(v, self.sub_dst, num_segments=self.num_segments)
+        agg = seg(v, sdst, num_segments=self.num_segments)
         if op == "add":
             return agg
         # empty segments hold the dtype identity extremum; combining with the
@@ -486,3 +493,78 @@ def make_auto_plan(edge_index: np.ndarray, num_nodes: int,
     if max_slots and plan.num_subruns * plan.sub_len > max_slots:
         return plan.chunk(max_slots)
     return plan
+
+
+# ------------------------------------------------- differentiable SpMM --
+
+class PlanSpmm:
+    """Differentiable weighted SpMM over a static plan pair.
+
+    Forward: ``out[v] = sum_{(u,v)} w_e x[u]`` via the padded-tree "add"
+    plan; backward: ``dL/dx = A^T g`` via a second plan built on the
+    transposed edge list (the gcn_norm weights are data, so no cotangent
+    for them).  This replaces the scatter-serialised ``segment_sum`` SpMM
+    inside jitted GCN train steps (reference SpMM call sites:
+    src/datasets/elph.py:103-107, src/models/elph.py:136-146) — the plan
+    reduce measured ~3.7x the XLA scatter path at d=128 on v5e.
+
+    At scale, pass ``self.tables`` through the jit boundary as an ARGUMENT
+    (``__call__(x, tables)``): the implicit device tables otherwise become
+    executable constants that overflow the remote compiler (HTTP 413).
+    Falls back to building from a chunked plan is not supported — callers
+    should only construct one when the one-shot slot table fits
+    ``max_slots`` (see ``fits``).
+    """
+
+    def __init__(self, edge_index: np.ndarray, edge_weight: np.ndarray,
+                 num_nodes: int, sub_len: int = SUB_LEN):
+        ei = np.asarray(edge_index)
+        w = np.asarray(edge_weight, dtype=np.float32)
+        self.fwd = SortedSegmentPlan(ei, num_nodes, sub_len)
+        self.bwd = SortedSegmentPlan(ei[::-1], num_nodes, sub_len)
+        self._w_fwd = self.fwd.stage_edge_data(w)
+        self._w_bwd = self.bwd.stage_edge_data(w)
+
+    @classmethod
+    def try_build(cls, edge_index: np.ndarray, edge_weight: np.ndarray,
+                  num_nodes: int, max_slots: Optional[int] = None,
+                  sub_len: int = SUB_LEN) -> Optional["PlanSpmm"]:
+        """Build, or return None when either direction's slot table exceeds
+        ``max_slots`` (the caller then stays on the scatter SpMM; a chunked
+        in-step differentiable SpMM is not supported)."""
+        ps = cls(edge_index, edge_weight, num_nodes, sub_len)
+        if max_slots and max(ps.fwd.num_subruns,
+                             ps.bwd.num_subruns) * sub_len > max_slots:
+            return None
+        return ps
+
+    @property
+    def tables(self) -> tuple:
+        """(gidx_f, sdst_f, w_f, gidx_b, sdst_b, w_b) device arrays — ride
+        these through jit as arguments at scale."""
+        return (self.fwd.gather_idx, self.fwd.sub_dst, self._w_fwd,
+                self.bwd.gather_idx, self.bwd.sub_dst, self._w_bwd)
+
+    def __call__(self, x: jnp.ndarray,
+                 tables: Optional[tuple] = None) -> jnp.ndarray:
+        return _plan_spmm(self, x,
+                          self.tables if tables is None else tables)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _plan_spmm(ps: PlanSpmm, x, tables):
+    gf, sf, wf = tables[0], tables[1], tables[2]
+    return ps.fwd.reduce(x, "add", edge_data_slots=wf, tables=(gf, sf))
+
+
+def _plan_spmm_fwd(ps, x, tables):
+    return _plan_spmm(ps, x, tables), tables
+
+
+def _plan_spmm_bwd(ps, tables, g):
+    gb, sb, wb = tables[3], tables[4], tables[5]
+    dx = ps.bwd.reduce(g, "add", edge_data_slots=wb, tables=(gb, sb))
+    return dx, (None,) * 6
+
+
+_plan_spmm.defvjp(_plan_spmm_fwd, _plan_spmm_bwd)

@@ -576,12 +576,33 @@ class ElphTrainer:
             d["frozen_emb"] = _replicate_on(self.mesh, self.frozen_emb)
         if self.use_feature:
             d["x"] = _replicate_on(self.mesh, jnp.asarray(ds.x))
+        # staged differentiable SpMM plan for the in-step GCN convs: the
+        # scatter SpMM is the step bottleneck at scale (plan reduce ~3.7x);
+        # tables ride as jit args so they never become compile constants
+        self._spmm_plans = getattr(self, "_spmm_plans", {})
+        if (not self._has_graph) and self.cfg.use_plan and self.use_feature:
+            from subgraph_sketching_tpu.ops.graph_ops import gcn_norm
+            from subgraph_sketching_tpu.ops.segment_scan import PlanSpmm
+            ein, wn, _ = gcn_norm(jnp.asarray(ds.edge_index),
+                                  jnp.asarray(ds.edge_weight),
+                                  ds.num_nodes, None)
+            plan = PlanSpmm.try_build(np.asarray(ein), np.asarray(wn),
+                                      ds.num_nodes,
+                                      max_slots=self.cfg.max_gather_slots)
+            if plan is not None:
+                self._spmm_plans[split] = plan
+                d["spmm_tables"] = tuple(
+                    _replicate_on(self.mesh, t) for t in plan.tables)
         self._data[split] = d
 
-    def _node_feats(self, params, batch_stats, data, training, dropout_rng=None):
+    def _node_feats(self, params, batch_stats, data, training,
+                    dropout_rng=None, plan=None):
         variables = {"params": params, "batch_stats": batch_stats}
+        spmm_ctx = ((plan, data["spmm_tables"])
+                    if plan is not None and "spmm_tables" in data else None)
         kwargs = dict(edge_weight=data["edge_weight"],
-                      mask=data.get("mask"), training=training)
+                      mask=data.get("mask"), spmm_ctx=spmm_ctx,
+                      training=training)
         x = data["x"] if self.use_feature else None
         if training:
             (feats, _), updates = self.gnn.apply(
@@ -653,6 +674,7 @@ class ElphTrainer:
         # constants overflow the remote compile at scale); num_nodes is a
         # static shape parameter and stays a closure constant
         num_nodes = self._data["train"]["num_nodes"]
+        spmm_plan = self._spmm_plans.get("train")
 
         def epoch(state: TrainState, rng: jax.Array, arrays):
             data = dict(arrays, num_nodes=num_nodes)
@@ -673,7 +695,8 @@ class ElphTrainer:
 
                 def loss_fn(params):
                     feats, new_gnn_bs = self._node_feats(
-                        params["gnn"], st.batch_stats["gnn"], data, True, k1)
+                        params["gnn"], st.batch_stats["gnn"], data, True, k1,
+                        plan=spmm_plan)
                     nf = feats[links_b] if feats is not None else None
                     emb_b, new_emb_bs = None, st.batch_stats["embedding"]
                     if self.use_embedding:
@@ -729,7 +752,8 @@ class ElphTrainer:
         (reference get_elph_preds, inference.py:167-205)."""
         data = self._data[split]
         feats, _ = self._node_feats(state.params["gnn"],
-                                    state.batch_stats["gnn"], data, False)
+                                    state.batch_stats["gnn"], data, False,
+                                    plan=self._spmm_plans.get(split))
         total = int(data["links"].shape[0])
         sel = eval_subset(total, n_samples, self.cfg.dataset_name)
         n = len(sel)

@@ -144,6 +144,39 @@ def test_scan_plan_spmm_matches_dense():
     np.testing.assert_allclose(got, dense @ x, rtol=1e-4, atol=1e-5)
 
 
+def test_plan_spmm_forward_and_gradient():
+    """PlanSpmm == scatter spmm in forward AND in grad (custom VJP routes
+    the backward through the transpose plan), eagerly and inside jit with
+    the tables passed as arguments."""
+    import jax
+    from subgraph_sketching_tpu.ops.graph_ops import spmm
+    from subgraph_sketching_tpu.ops.segment_scan import PlanSpmm
+
+    rng = np.random.default_rng(0)
+    n, e, d = 300, 2500, 12
+    ei = np.stack([rng.integers(0, n, e),
+                   rng.integers(0, n, e)]).astype(np.int32)
+    nei, w, _ = gcn_norm(jnp.asarray(ei), None, n)
+    x = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    t = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    ps = PlanSpmm(np.asarray(nei), np.asarray(w), n)
+
+    ref = spmm(nei, w, x, n)
+    np.testing.assert_allclose(np.asarray(ps(x)), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    g_ref = jax.grad(lambda x: (spmm(nei, w, x, n) * t).sum())(x)
+    g_new = jax.grad(lambda x: (ps(x) * t).sum())(x)
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-5)
+
+    @jax.jit
+    def gj(x, tables):
+        return jax.grad(lambda x: (ps(x, tables) * t).sum())(x)
+
+    np.testing.assert_allclose(np.asarray(gj(x, ps.tables)),
+                               np.asarray(g_ref), rtol=1e-5, atol=1e-5)
+
+
 def test_gcn_norm_matches_manual():
     ei = jnp.asarray(np.array([[0, 1, 2], [1, 2, 0]], dtype=np.int32))
     nei, w, _ = gcn_norm(ei, None, 3)

@@ -109,3 +109,45 @@ def test_metrics_logger_jsonl():
         lines = [json.loads(l) for l in
                  open(os.path.join(d, "metrics.jsonl"))]
         assert lines[0]["loss"] == 1.0 and lines[1]["step"] == 10
+
+
+def test_elph_plan_spmm_step_matches_scatter():
+    """The staged differentiable PlanSpmm inside the jitted ELPH step is
+    the same math as the scatter SpMM: identical loss trajectory and
+    predictions (use_plan toggles the path)."""
+    import jax
+    from subgraph_sketching_tpu.config import Config
+    from subgraph_sketching_tpu.graph.datasets import get_data
+    from subgraph_sketching_tpu.graph.preprocess import (
+        build_link_dataset, sketch_params_from_config,
+    )
+    from subgraph_sketching_tpu.train.loops import ElphTrainer
+
+    out = {}
+    for use_plan in (True, False):
+        cfg = Config(dataset_name="synth-er", model="ELPH", epochs=2,
+                     hidden_channels=16, batch_size=256,
+                     eval_batch_size=512, K=20, feature_dropout=0.0,
+                     label_dropout=0.0, use_plan=use_plan)
+        splits, _, _ = get_data(cfg)
+        ds = {k: build_link_dataset(sd, cfg, k) for k, sd in splits.items()}
+        tr = ElphTrainer(cfg, ds["train"], sketch_params_from_config(cfg),
+                         ds["train"].x.shape[-1])
+        tr.stage("valid", ds["valid"])
+        if use_plan:
+            assert "train" in tr._spmm_plans, "plan path not engaged"
+        state = tr.init_state(jax.random.PRNGKey(0))
+        losses = []
+        for ep in range(2):
+            state, loss = tr.train_epoch(state, np.random.default_rng(ep),
+                                         jax.random.PRNGKey(10 + ep))
+            losses.append(loss)
+        pred, _ = tr.predict(state, "valid")
+        out[use_plan] = (np.asarray(losses), pred)
+
+    np.testing.assert_allclose(out[True][0], out[False][0],
+                               rtol=1e-4, atol=1e-5)
+    # after 2 epochs of training the different (but equivalent) summation
+    # orders have compounded through the weights — logits track to ~1e-2
+    np.testing.assert_allclose(out[True][1], out[False][1],
+                               rtol=1e-2, atol=1e-2)
