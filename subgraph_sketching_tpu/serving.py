@@ -142,8 +142,9 @@ class ElphLinkScorer:
                 if cfg.use_plan else None)
         self.sk = build_hash_tables(jnp.asarray(ei), num_nodes,
                                     self.sketch_params, plan=plan)
-        feats, _ = trainer._node_feats(state.params["gnn"],
-                                       state.batch_stats["gnn"], data, False)
+        feats, _ = trainer._node_feats(
+            state.params["gnn"], state.batch_stats["gnn"], data, False,
+            plan=trainer._spmm_plans.get(split))
         self.feats = feats
         # resolve the (possibly SIGN-diffused) embedding table once; queries
         # then only gather rows (reference inference.py:179-180)
