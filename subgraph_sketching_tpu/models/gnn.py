@@ -176,8 +176,16 @@ class SIGNEmbedding(nn.Module):
 
     @nn.compact
     def __call__(self, x, edge_index, num_nodes: int, *, training: bool = False,
-                 mask: Optional[jnp.ndarray] = None):
-        ei, w, m = gcn_norm(edge_index, None, num_nodes, mask)
+                 mask: Optional[jnp.ndarray] = None,
+                 spmm_ctx: Optional[tuple] = None):
+        if spmm_ctx is not None:
+            # staged differentiable plan SpMM (ops/segment_scan.PlanSpmm)
+            # with the unweighted gcn_norm baked into the slot weights
+            plan, tables = spmm_ctx
+            prop = lambda h: plan(h, tables)
+        else:
+            ei, w, m = gcn_norm(edge_index, None, num_nodes, mask)
+            prop = lambda h: spmm(ei, w, h, num_nodes, mask=m)
         hs = []
         for k in range(self.K + 1):
             h = nn.Dense(self.hidden_channels, name=f"lin_{k}",
@@ -186,7 +194,7 @@ class SIGNEmbedding(nn.Module):
             h = nn.relu(h)
             h = nn.Dropout(self.dropout, deterministic=not training)(h)
             hs.append(h)
-            x = spmm(ei, w, x, num_nodes, mask=m)
+            x = prop(x)
         h = jnp.concatenate(hs, axis=-1)
         return nn.Dense(self.out_channels, name="lin_out",
                         dtype=self.dtype)(h)

@@ -176,7 +176,7 @@ class BuddyWithEmbedding(nn.Module):
     @nn.compact
     def __call__(self, links=None, edge_index=None, num_nodes=None,
                  frozen_table=None, return_table: bool = False,
-                 *, training: bool = False, **kwargs):
+                 emb_spmm_ctx=None, *, training: bool = False, **kwargs):
         from subgraph_sketching_tpu.models.gnn import SIGNEmbedding
 
         emb = None
@@ -193,7 +193,8 @@ class BuddyWithEmbedding(nn.Module):
                                       self.hidden_channels, self.sign_k,
                                       self.sign_dropout, dtype=self.dtype,
                                       name="sign_embedding")(
-                    table, edge_index, self.num_nodes, training=training)
+                    table, edge_index, self.num_nodes, training=training,
+                    spmm_ctx=emb_spmm_ctx)
             if not return_table:
                 emb = table[links]
         if return_table:
@@ -272,6 +273,21 @@ class BuddyTrainer:
         self._sf_dim = sf.shape[1]
         if self.use_embedding and self.cfg.propagate_embeddings:
             d["edge_index"] = jnp.asarray(ds.edge_index)
+            # staged differentiable SpMM plan for the per-step SIGN
+            # diffusion of the embedding table (the ddi configuration runs
+            # a full-graph SpMM chain inside every training step)
+            self._emb_spmm_plans = getattr(self, "_emb_spmm_plans", {})
+            if self.cfg.use_plan:
+                from subgraph_sketching_tpu.ops.graph_ops import gcn_norm
+                from subgraph_sketching_tpu.ops.segment_scan import PlanSpmm
+                ein, wn, _ = gcn_norm(jnp.asarray(ds.edge_index), None,
+                                      ds.num_nodes, None)
+                plan = PlanSpmm.try_build(
+                    np.asarray(ein), np.asarray(wn), ds.num_nodes,
+                    max_slots=self.cfg.max_gather_slots)
+                if plan is not None:
+                    self._emb_spmm_plans[split] = plan
+                    d["emb_spmm_tables"] = plan.tables
         if self.frozen_emb is not None:
             d["frozen_emb"] = self.frozen_emb
         if self.use_feature:
@@ -295,6 +311,8 @@ class BuddyTrainer:
         }
         if self.use_embedding and self.cfg.propagate_embeddings:
             batch["edge_index"] = data["edge_index"]
+            if "emb_spmm_tables" in data:
+                batch["emb_spmm_tables"] = data["emb_spmm_tables"]
         if "frozen_emb" in data:
             batch["frozen_emb"] = data["frozen_emb"]
         if self.cfg.use_struct_feature is False:
@@ -305,12 +323,17 @@ class BuddyTrainer:
             batch["RA"] = rows[:, c + 3]
         return batch
 
-    def _apply(self, params, batch_stats, batch, training, dropout_rng=None):
+    def _apply(self, params, batch_stats, batch, training, dropout_rng=None,
+               emb_spmm_plan=None):
         variables = {"params": params, "batch_stats": batch_stats}
+        emb_spmm_ctx = ((emb_spmm_plan, batch["emb_spmm_tables"])
+                        if emb_spmm_plan is not None
+                        and "emb_spmm_tables" in batch else None)
         kwargs = dict(
             links=batch["links"],
             edge_index=batch.get("edge_index"),
             frozen_table=batch.get("frozen_emb"),
+            emb_spmm_ctx=emb_spmm_ctx,
             sf=batch["sf"],
             node_features=batch.get("node_features"),
             src_degree=batch["src_degree"],
@@ -347,6 +370,8 @@ class BuddyTrainer:
         # arrays become executable constants, which bloats the program and
         # overflows the remote-compile request at scale (HTTP 413 observed
         # at 500k nodes / 7M links)
+        emb_plan = getattr(self, "_emb_spmm_plans", {}).get("train")
+
         def epoch(state: TrainState, rng: jax.Array, data):
             perm_key, rng = jax.random.split(rng)
             perm = _device_permutation(perm_key,
@@ -362,7 +387,8 @@ class BuddyTrainer:
 
                 def loss_fn(params):
                     logits, new_bs = self._apply(params, st.batch_stats, batch,
-                                                 True, dkey)
+                                                 True, dkey,
+                                                 emb_spmm_plan=emb_plan)
                     loss = self.loss_fn(logits, batch["labels"], batch["mask"])
                     return loss, new_bs
 

@@ -151,3 +151,33 @@ def test_elph_plan_spmm_step_matches_scatter():
     # orders have compounded through the weights — logits track to ~1e-2
     np.testing.assert_allclose(out[True][1], out[False][1],
                                rtol=1e-2, atol=1e-2)
+
+
+def test_buddy_embedding_diffusion_plan_matches_scatter():
+    """ddi-shape BUDDY (per-step SIGN diffusion of the embedding table):
+    the staged PlanSpmm path is the same math as the scatter SpMM."""
+    import jax
+    from subgraph_sketching_tpu.config import Config
+    from subgraph_sketching_tpu.graph.datasets import get_data
+    from subgraph_sketching_tpu.graph.preprocess import build_link_dataset
+    from subgraph_sketching_tpu.train.loops import BuddyTrainer
+
+    losses = {}
+    for use_plan in (True, False):
+        cfg = Config(dataset_name="synth-er", model="BUDDY", epochs=1,
+                     hidden_channels=16, batch_size=256,
+                     eval_batch_size=512, K=20, use_feature=False,
+                     train_node_embedding=True, propagate_embeddings=True,
+                     sign_k=1, sign_dropout=0.0, label_dropout=0.0,
+                     feature_dropout=0.0, use_plan=use_plan)
+        splits, _, _ = get_data(cfg)
+        ds = build_link_dataset(splits["train"], cfg, "train")
+        tr = BuddyTrainer(cfg, ds, None)
+        if use_plan:
+            assert "train" in tr._emb_spmm_plans, "emb plan not engaged"
+        state = tr.init_state(jax.random.PRNGKey(0))
+        state, loss = tr.train_epoch(state, np.random.default_rng(0),
+                                     jax.random.PRNGKey(3))
+        losses[use_plan] = loss
+    np.testing.assert_allclose(losses[True], losses[False],
+                               rtol=1e-4, atol=1e-5)
