@@ -112,6 +112,9 @@ class Config:
     wandb_log_freq: int = 1
     wandb_epoch_list: List[int] = field(
         default_factory=lambda: [0, 1, 2, 4, 8, 16])
+    # parse-only in the reference too: --wandb_watch_grad is declared but
+    # never read (run.py:248), and --log_features calls model.log_wandb()
+    # which no model defines (train.py:87 would AttributeError)
     log_features: bool = False
 
     # ---- TPU-native additions (no reference equivalent) ----
