@@ -52,6 +52,9 @@ class GCNConv(nn.Module):
             # edge list (ops/segment_scan.PlanSpmm): the plan is built once
             # at staging and its tables ride as jit arguments; ~3.7x the
             # scatter path inside the jitted train step
+            assert mask is None, \
+                "spmm_ctx bakes the edge set at staging; it cannot honour " \
+                "a runtime edge mask — pass one or the other"
             plan, tables = spmm_ctx
             out = plan(x, tables)
         else:
@@ -181,6 +184,9 @@ class SIGNEmbedding(nn.Module):
         if spmm_ctx is not None:
             # staged differentiable plan SpMM (ops/segment_scan.PlanSpmm)
             # with the unweighted gcn_norm baked into the slot weights
+            assert mask is None, \
+                "spmm_ctx bakes the edge set at staging; it cannot honour " \
+                "a runtime edge mask — pass one or the other"
             plan, tables = spmm_ctx
             prop = lambda h: plan(h, tables)
         else:

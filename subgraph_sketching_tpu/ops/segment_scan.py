@@ -511,9 +511,10 @@ class PlanSpmm:
     At scale, pass ``self.tables`` through the jit boundary as an ARGUMENT
     (``__call__(x, tables)``): the implicit device tables otherwise become
     executable constants that overflow the remote compiler (HTTP 413).
-    Falls back to building from a chunked plan is not supported — callers
-    should only construct one when the one-shot slot table fits
-    ``max_slots`` (see ``fits``).
+    Chunk-streamed plans are not supported here — construct via
+    ``try_build``, which returns None when either direction's one-shot
+    slot table would exceed ``max_slots`` (callers then keep the scatter
+    SpMM).
     """
 
     def __init__(self, edge_index: np.ndarray, edge_weight: np.ndarray,
@@ -531,12 +532,18 @@ class PlanSpmm:
                   sub_len: int = SUB_LEN) -> Optional["PlanSpmm"]:
         """Build, or return None when either direction's slot table exceeds
         ``max_slots`` (the caller then stays on the scatter SpMM; a chunked
-        in-step differentiable SpMM is not supported)."""
-        ps = cls(edge_index, edge_weight, num_nodes, sub_len)
-        if max_slots and max(ps.fwd.num_subruns,
-                             ps.bwd.num_subruns) * sub_len > max_slots:
-            return None
-        return ps
+        in-step differentiable SpMM is not supported).  The slot counts are
+        exact from degree histograms, so rejection costs two bincounts —
+        not two thrown-away plan builds."""
+        if max_slots:
+            ei = np.asarray(edge_index)
+            for deg_axis in (ei[1], ei[0]):       # fwd dst, bwd dst (=src)
+                counts = np.bincount(deg_axis, minlength=num_nodes)
+                slots = int(((counts + sub_len - 1) // sub_len).sum()) \
+                    * sub_len
+                if slots > max_slots:
+                    return None
+        return cls(edge_index, edge_weight, num_nodes, sub_len)
 
     @property
     def tables(self) -> tuple:

@@ -153,6 +153,30 @@ def _device_permutation(key: jax.Array, num_links: int, batch_size: int,
 
 # ------------------------------------------------------------------ BUDDY --
 
+def _node_embedding_table(mod: nn.Module, num_nodes: int, hidden: int,
+                          propagate: bool, sign_k: int, sign_dropout: float,
+                          dtype, edge_index, mask, frozen_table, spmm_ctx,
+                          training: bool):
+    """Shared embedding-table logic for BuddyWithEmbedding/ElphEmbedding,
+    executed inside the caller's compact scope so the param paths stay
+    ('node_embedding', 'sign_embedding/...').  A pretrained table rides as
+    data (frozen, reference select_embedding utils.py:57-60); otherwise it
+    is a parameter; with ``propagate`` it is SIGN-diffused over the
+    normalised adjacency (reference propagate_embeddings_func,
+    models/elph.py:148-151), optionally through a staged PlanSpmm ctx."""
+    from subgraph_sketching_tpu.models.gnn import SIGNEmbedding
+
+    table = (frozen_table if frozen_table is not None else
+             mod.param("node_embedding", nn.initializers.xavier_uniform(),
+                       (num_nodes, hidden)))
+    if propagate and edge_index is not None:
+        table = SIGNEmbedding(hidden, hidden, sign_k, sign_dropout,
+                              dtype=dtype, name="sign_embedding")(
+            table, edge_index, num_nodes, mask=mask, training=training,
+            spmm_ctx=spmm_ctx)
+    return table
+
+
 class BuddyWithEmbedding(nn.Module):
     """BUDDY plus an optional trainable node-embedding table.
 
@@ -177,24 +201,13 @@ class BuddyWithEmbedding(nn.Module):
     def __call__(self, links=None, edge_index=None, num_nodes=None,
                  frozen_table=None, return_table: bool = False,
                  emb_spmm_ctx=None, *, training: bool = False, **kwargs):
-        from subgraph_sketching_tpu.models.gnn import SIGNEmbedding
-
         emb = None
         table = None
         if self.use_embedding:
-            # a pretrained table rides as data (frozen, reference
-            # select_embedding utils.py:57-60); otherwise it is a parameter
-            table = (frozen_table if frozen_table is not None else
-                     self.param(
-                         "node_embedding", nn.initializers.xavier_uniform(),
-                         (self.num_nodes, self.hidden_channels)))
-            if self.propagate and edge_index is not None:
-                table = SIGNEmbedding(self.hidden_channels,
-                                      self.hidden_channels, self.sign_k,
-                                      self.sign_dropout, dtype=self.dtype,
-                                      name="sign_embedding")(
-                    table, edge_index, self.num_nodes, training=training,
-                    spmm_ctx=emb_spmm_ctx)
+            table = _node_embedding_table(
+                self, self.num_nodes, self.hidden_channels, self.propagate,
+                self.sign_k, self.sign_dropout, self.dtype, edge_index,
+                None, frozen_table, emb_spmm_ctx, training)
             if not return_table:
                 emb = table[links]
         if return_table:
@@ -275,9 +288,10 @@ class BuddyTrainer:
             d["edge_index"] = jnp.asarray(ds.edge_index)
             # staged differentiable SpMM plan for the per-step SIGN
             # diffusion of the embedding table (the ddi configuration runs
-            # a full-graph SpMM chain inside every training step)
+            # a full-graph SpMM chain inside every training step).
+            # train-only: eval/predict never reads the plan
             self._emb_spmm_plans = getattr(self, "_emb_spmm_plans", {})
-            if self.cfg.use_plan:
+            if self.cfg.use_plan and split == "train":
                 from subgraph_sketching_tpu.ops.graph_ops import gcn_norm
                 from subgraph_sketching_tpu.ops.segment_scan import PlanSpmm
                 ein, wn, _ = gcn_norm(jnp.asarray(ds.edge_index), None,
@@ -479,19 +493,12 @@ class ElphEmbedding(nn.Module):
 
     @nn.compact
     def __call__(self, links=None, edge_index=None, mask=None,
-                 frozen_table=None, *, training: bool = False):
-        from subgraph_sketching_tpu.models.gnn import SIGNEmbedding
-
-        table = (frozen_table if frozen_table is not None else
-                 self.param("node_embedding",
-                            nn.initializers.xavier_uniform(),
-                            (self.num_nodes, self.hidden_channels)))
-        if self.propagate and edge_index is not None:
-            table = SIGNEmbedding(self.hidden_channels, self.hidden_channels,
-                                  self.sign_k, self.sign_dropout,
-                                  dtype=self.dtype, name="sign_embedding")(
-                table, edge_index, self.num_nodes, mask=mask,
-                training=training)
+                 frozen_table=None, spmm_ctx=None, *,
+                 training: bool = False):
+        table = _node_embedding_table(
+            self, self.num_nodes, self.hidden_channels, self.propagate,
+            self.sign_k, self.sign_dropout, self.dtype, edge_index, mask,
+            frozen_table, spmm_ctx, training)
         return table if links is None else table[links]
 
 
@@ -602,23 +609,40 @@ class ElphTrainer:
             d["frozen_emb"] = _replicate_on(self.mesh, self.frozen_emb)
         if self.use_feature:
             d["x"] = _replicate_on(self.mesh, jnp.asarray(ds.x))
-        # staged differentiable SpMM plan for the in-step GCN convs: the
-        # scatter SpMM is the step bottleneck at scale (plan reduce ~3.7x);
-        # tables ride as jit args so they never become compile constants
+        # staged differentiable SpMM plans: the scatter SpMM is the step
+        # bottleneck at scale (plan reduce ~3.7x); tables ride as jit args
+        # so they never become compile constants
         self._spmm_plans = getattr(self, "_spmm_plans", {})
-        if (not self._has_graph) and self.cfg.use_plan and self.use_feature:
+        self._emb_spmm_plans = getattr(self, "_emb_spmm_plans", {})
+        if (not self._has_graph) and self.cfg.use_plan:
             from subgraph_sketching_tpu.ops.graph_ops import gcn_norm
             from subgraph_sketching_tpu.ops.segment_scan import PlanSpmm
-            ein, wn, _ = gcn_norm(jnp.asarray(ds.edge_index),
-                                  jnp.asarray(ds.edge_weight),
-                                  ds.num_nodes, None)
-            plan = PlanSpmm.try_build(np.asarray(ein), np.asarray(wn),
-                                      ds.num_nodes,
-                                      max_slots=self.cfg.max_gather_slots)
-            if plan is not None:
-                self._spmm_plans[split] = plan
-                d["spmm_tables"] = tuple(
-                    _replicate_on(self.mesh, t) for t in plan.tables)
+            if self.use_feature:
+                ein, wn, _ = gcn_norm(jnp.asarray(ds.edge_index),
+                                      jnp.asarray(ds.edge_weight),
+                                      ds.num_nodes, None)
+                plan = PlanSpmm.try_build(
+                    np.asarray(ein), np.asarray(wn), ds.num_nodes,
+                    max_slots=self.cfg.max_gather_slots)
+                if plan is not None:
+                    self._spmm_plans[split] = plan
+                    d["spmm_tables"] = tuple(
+                        _replicate_on(self.mesh, t) for t in plan.tables)
+            if (split == "train" and self.use_embedding
+                    and self.cfg.propagate_embeddings):
+                # per-step SIGN diffusion of the embedding table (ddi
+                # shape) uses the UNWEIGHTED gcn_norm (reference
+                # propagate_embeddings_func); train-only — eval diffuses
+                # once per predict, where scatter is fine
+                ein, wn, _ = gcn_norm(jnp.asarray(ds.edge_index), None,
+                                      ds.num_nodes, None)
+                plan = PlanSpmm.try_build(
+                    np.asarray(ein), np.asarray(wn), ds.num_nodes,
+                    max_slots=self.cfg.max_gather_slots)
+                if plan is not None:
+                    self._emb_spmm_plans[split] = plan
+                    d["emb_spmm_tables"] = tuple(
+                        _replicate_on(self.mesh, t) for t in plan.tables)
         self._data[split] = d
 
     def _node_feats(self, params, batch_stats, data, training,
@@ -680,14 +704,17 @@ class ElphTrainer:
         return TrainState(params, batch_stats, self.optimizer.init(params))
 
     def _emb_rows(self, params, batch_stats, links, data, training,
-                  dropout_rng=None):
+                  dropout_rng=None, plan=None):
         """Per-link embedding rows, SIGN-diffusing the table first when
         ``--propagate_embeddings`` (reference runners/train.py:191-192)."""
         variables = {"params": params, "batch_stats": batch_stats}
+        spmm_ctx = ((plan, data["emb_spmm_tables"])
+                    if plan is not None and "emb_spmm_tables" in data
+                    else None)
         kwargs = dict(edge_index=data.get("edge_index"),
                       mask=data.get("mask"),
                       frozen_table=data.get("frozen_emb"),
-                      training=training)
+                      spmm_ctx=spmm_ctx, training=training)
         if training:
             rows, updates = self.embedding.apply(
                 variables, links, mutable=["batch_stats"],
@@ -701,6 +728,7 @@ class ElphTrainer:
         # static shape parameter and stays a closure constant
         num_nodes = self._data["train"]["num_nodes"]
         spmm_plan = self._spmm_plans.get("train")
+        emb_plan = self._emb_spmm_plans.get("train")
 
         def epoch(state: TrainState, rng: jax.Array, arrays):
             data = dict(arrays, num_nodes=num_nodes)
@@ -729,7 +757,7 @@ class ElphTrainer:
                         emb_b, new_emb_bs = self._emb_rows(
                             params["embedding"],
                             st.batch_stats["embedding"], links_b, data,
-                            True, k3)
+                            True, k3, plan=emb_plan)
                     pv = {"params": params["predictor"],
                           "batch_stats": st.batch_stats["predictor"]}
                     logits, updates = self.predictor.apply(

@@ -153,18 +153,22 @@ def test_elph_plan_spmm_step_matches_scatter():
                                rtol=1e-2, atol=1e-2)
 
 
-def test_buddy_embedding_diffusion_plan_matches_scatter():
-    """ddi-shape BUDDY (per-step SIGN diffusion of the embedding table):
-    the staged PlanSpmm path is the same math as the scatter SpMM."""
+@pytest.mark.parametrize("model", ["BUDDY", "ELPH"])
+def test_embedding_diffusion_plan_matches_scatter(model):
+    """ddi-shape (per-step SIGN diffusion of the embedding table): the
+    staged PlanSpmm path is the same math as the scatter SpMM, for both
+    model families."""
     import jax
     from subgraph_sketching_tpu.config import Config
     from subgraph_sketching_tpu.graph.datasets import get_data
-    from subgraph_sketching_tpu.graph.preprocess import build_link_dataset
-    from subgraph_sketching_tpu.train.loops import BuddyTrainer
+    from subgraph_sketching_tpu.graph.preprocess import (
+        build_link_dataset, sketch_params_from_config,
+    )
+    from subgraph_sketching_tpu.train.loops import BuddyTrainer, ElphTrainer
 
     losses = {}
     for use_plan in (True, False):
-        cfg = Config(dataset_name="synth-er", model="BUDDY", epochs=1,
+        cfg = Config(dataset_name="synth-er", model=model, epochs=1,
                      hidden_channels=16, batch_size=256,
                      eval_batch_size=512, K=20, use_feature=False,
                      train_node_embedding=True, propagate_embeddings=True,
@@ -172,7 +176,10 @@ def test_buddy_embedding_diffusion_plan_matches_scatter():
                      feature_dropout=0.0, use_plan=use_plan)
         splits, _, _ = get_data(cfg)
         ds = build_link_dataset(splits["train"], cfg, "train")
-        tr = BuddyTrainer(cfg, ds, None)
+        if model == "BUDDY":
+            tr = BuddyTrainer(cfg, ds, None)
+        else:
+            tr = ElphTrainer(cfg, ds, sketch_params_from_config(cfg), None)
         if use_plan:
             assert "train" in tr._emb_spmm_plans, "emb plan not engaged"
         state = tr.init_state(jax.random.PRNGKey(0))
