@@ -107,7 +107,20 @@ def main():
                       dtype=np.uint32)
     hll = rng.integers(0, 56, (NUM_NODES, 1 << HLL_P)).astype(np.int8)
 
-    tpu_eps = bench_tpu(src, dst, mh, hll)
+    # the remote-TPU relay occasionally fails fast with 'Unable to
+    # initialize backend' during service flaps; retry a few times so a
+    # transient outage at round end doesn't lose the measurement
+    tpu_eps = None
+    for attempt in range(3):
+        try:
+            tpu_eps = bench_tpu(src, dst, mh, hll)
+            break
+        except RuntimeError as e:
+            print(f"# TPU attempt {attempt + 1} failed: {e}", flush=True)
+            if attempt < 2:
+                time.sleep(120)
+    if tpu_eps is None:
+        raise SystemExit("TPU backend unavailable after 3 attempts")
     base_eps = bench_torch_cpu(src, dst, mh, hll)
     print(json.dumps({
         "metric": "sketch_propagation_throughput",
