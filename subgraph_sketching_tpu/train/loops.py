@@ -618,16 +618,31 @@ class ElphTrainer:
             from subgraph_sketching_tpu.ops.graph_ops import gcn_norm
             from subgraph_sketching_tpu.ops.segment_scan import PlanSpmm
             if self.use_feature:
-                ein, wn, _ = gcn_norm(jnp.asarray(ds.edge_index),
-                                      jnp.asarray(ds.edge_weight),
-                                      ds.num_nodes, None)
-                plan = PlanSpmm.try_build(
-                    np.asarray(ein), np.asarray(wn), ds.num_nodes,
-                    max_slots=self.cfg.max_gather_slots)
-                if plan is not None:
-                    self._spmm_plans[split] = plan
-                    d["spmm_tables"] = tuple(
-                        _replicate_on(self.mesh, t) for t in plan.tables)
+                # eval splits usually share the train message graph —
+                # reuse its plan instead of re-sorting per split
+                self._plan_edges = getattr(self, "_plan_edges", {})
+                reuse = next(
+                    (s for s, (e, w) in self._plan_edges.items()
+                     if e.shape == ds.edge_index.shape
+                     and np.array_equal(e, ds.edge_index)
+                     and np.array_equal(w, ds.edge_weight)), None)
+                if reuse is not None:
+                    self._spmm_plans[split] = self._spmm_plans[reuse]
+                    d["spmm_tables"] = self._data[reuse]["spmm_tables"]
+                else:
+                    ein, wn, _ = gcn_norm(jnp.asarray(ds.edge_index),
+                                          jnp.asarray(ds.edge_weight),
+                                          ds.num_nodes, None)
+                    plan = PlanSpmm.try_build(
+                        np.asarray(ein), np.asarray(wn), ds.num_nodes,
+                        max_slots=self.cfg.max_gather_slots)
+                    if plan is not None:
+                        self._spmm_plans[split] = plan
+                        self._plan_edges[split] = (ds.edge_index,
+                                                   ds.edge_weight)
+                        d["spmm_tables"] = tuple(
+                            _replicate_on(self.mesh, t)
+                            for t in plan.tables)
             if (split == "train" and self.use_embedding
                     and self.cfg.propagate_embeddings):
                 # per-step SIGN diffusion of the embedding table (ddi
