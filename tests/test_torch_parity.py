@@ -130,3 +130,54 @@ def test_batchnorm_training_stats_match_torch():
     theirs = bn(torch.from_numpy(x))
     np.testing.assert_allclose(np.asarray(ours), theirs.detach().numpy(),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_sign_embedding_matches_torch():
+    """SIGNEmbedding (the ddi-shape diffusion operator) vs a torch replica
+    of the reference (src/models/gnn.py:149-166): the reference drops PyG
+    gcn_norm's weights and re-normalises unweighted over the (A+I) edge
+    set inside cache_adj_t — which is exactly our gcn_norm with self-loops
+    and no weights.  Eval mode, identical weights, allclose."""
+    from subgraph_sketching_tpu.models.gnn import SIGNEmbedding
+
+    rng = np.random.default_rng(0)
+    n, e, d, K = 60, 240, 8, 2
+    ei = np.stack([rng.integers(0, n, e),
+                   rng.integers(0, n, e)]).astype(np.int32)
+    x = rng.normal(size=(n, d)).astype(np.float32)
+
+    mod = SIGNEmbedding(hidden_channels=d, out_channels=d, K=K, dropout=0.0)
+    variables = mod.init({"params": jax.random.PRNGKey(0)},
+                         jnp.asarray(x), jnp.asarray(ei), n, training=False)
+    ours = np.asarray(mod.apply(variables, jnp.asarray(x), jnp.asarray(ei),
+                                n, training=False))
+
+    # torch replica: unweighted sym-norm over A+I (reference cache_adj_t
+    # applied to the self-looped edge set from gcn_norm)
+    ei_l = np.concatenate([ei, np.stack([np.arange(n), np.arange(n)])],
+                          axis=1)
+    A = np.zeros((n, n), np.float32)
+    for s, t in ei_l.T:
+        A[t, s] += 1.0
+    deg = A.sum(axis=1)
+    dis = np.where(deg > 0, deg ** -0.5, 0.0)
+    adj = dis[:, None] * A * dis[None, :]
+
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    xt = torch.from_numpy(x).float()
+    hs = []
+    for k in range(K + 1):
+        h = torch_linear(xt, params[f"lin_{k}"]["kernel"],
+                         params[f"lin_{k}"]["bias"])
+        h = torch_batchnorm_eval(h, params[f"bn_{k}"]["scale"],
+                                 params[f"bn_{k}"]["bias"],
+                                 stats[f"bn_{k}"]["mean"],
+                                 stats[f"bn_{k}"]["var"])
+        h = torch.relu(h)
+        hs.append(h)
+        xt = torch.from_numpy(adj).float() @ xt
+    h = torch.cat(hs, dim=-1)
+    theirs = torch_linear(h, params["lin_out"]["kernel"],
+                          params["lin_out"]["bias"]).detach().numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
