@@ -103,8 +103,15 @@ def main(argv=None):
     parser.add_argument("--device", action="store_true",
                         help="score CN/AA/RA on the TPU (bucketed "
                              "neighbour-intersection path)")
+    parser.add_argument("--platform", type=str, default=None,
+                        help="force jax platform (e.g. cpu) — the metric "
+                             "math runs on device even for host scoring")
     args = parser.parse_args(argv)
-    cfg = Config(dataset_name=args.dataset_name, reps=args.reps)
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    cfg = Config(dataset_name=args.dataset_name, reps=args.reps,
+                 platform=args.platform)
     return run(cfg, tuple(args.heuristics.split(",")), device=args.device)
 
 
