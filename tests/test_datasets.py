@@ -191,3 +191,47 @@ def test_parameterised_ws_dataset():
     assert g.num_nodes == 5000 and g.x.shape == (5000, 128)
     with pytest.raises(ValueError):
         synthetic_graph("synth-zz")
+
+
+def test_make_train_eval_dataset_subsets():
+    """Reference make_train_eval_data semantics (src/datasets/elph.py:
+    292-325): first n_pos positives, aligned same-source negatives, RA and
+    subgraph features slice with them (reference test pattern:
+    test_elph_datasets.test_make_train_eval_dataset)."""
+    import numpy as np
+    from subgraph_sketching_tpu.graph.preprocess import (
+        LinkDataset, make_train_eval_dataset,
+    )
+
+    n_pos_total, negs_per_pos, n_nodes = 20, 3, 50
+    pos = np.stack([np.arange(n_pos_total) % n_nodes,
+                    (np.arange(n_pos_total) * 3 + 1) % n_nodes], axis=1)
+    # same-source negatives aligned with positives
+    neg = np.stack([pos[:, 0].repeat(negs_per_pos),
+                    (np.arange(n_pos_total * negs_per_pos) * 7 + 2)
+                    % n_nodes], axis=1)
+    links = np.concatenate([pos, neg]).astype(np.int32)
+    labels = np.concatenate([np.ones(n_pos_total, np.float32),
+                             np.zeros(len(neg), np.float32)])
+    sf = np.arange(len(links) * 2, dtype=np.float32).reshape(-1, 2)
+    ra = np.arange(len(links), dtype=np.float32)
+    ds = LinkDataset(links=links, labels=labels,
+                     edge_index=np.zeros((2, 4), np.int32),
+                     edge_weight=np.ones(4, np.float32),
+                     num_nodes=n_nodes, x=None,
+                     degrees=np.zeros(n_nodes, np.float32),
+                     subgraph_features=sf, RA=ra, sketches=None)
+
+    sub = make_train_eval_dataset(ds, n_pos_samples=5,
+                                  negs_per_pos=negs_per_pos)
+    assert int(sub.labels.sum()) == 5
+    assert len(sub.links) == 5 + 5 * negs_per_pos
+    np.testing.assert_array_equal(sub.links[:5], pos[:5])
+    # negatives keep the positives' source nodes, in order
+    np.testing.assert_array_equal(sub.links[5:, 0],
+                                  pos[:5, 0].repeat(negs_per_pos))
+    # features/RA slice with the links
+    np.testing.assert_array_equal(sub.subgraph_features[:5], sf[:5])
+    np.testing.assert_array_equal(sub.RA[:5], ra[:5])
+    np.testing.assert_array_equal(
+        sub.subgraph_features[5:], sf[n_pos_total:n_pos_total + 15])
