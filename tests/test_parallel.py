@@ -179,7 +179,12 @@ def test_elph_trainer_three_axis_mesh(setup):
     g2 = Graph(g.edge_index, g.num_nodes,
                x=np.random.default_rng(1).random((64, 8), dtype=np.float32))
     losses = {}
+    # [8] data-only: DP epoch with the staged PlanSpmm engaged and its
+    # tables replicated on the mesh; [2,2,2]: graph axis disables the plan
+    # (edge-sharded build), so the comparison also cross-validates the
+    # plan vs scatter SpMM paths under GSPMD
     for mesh_shape, axes in ((None, ["data"]),
+                             ([8], ["data"]),
                              ([2, 2, 2], ["data", "graph", "lane"])):
         cfg = Config(dataset_name="synth-ba", model="ELPH", hidden_channels=8,
                      batch_size=64, eval_batch_size=64, K=10,
@@ -194,9 +199,10 @@ def test_elph_trainer_three_axis_mesh(setup):
         state, loss2 = trainer.train_epoch(state, np.random.default_rng(1),
                                            jax.random.PRNGKey(1))
         losses[str(mesh_shape)] = (loss, loss2)
-    for a, b in zip(losses["None"], losses["[2, 2, 2]"]):
-        assert np.isfinite(b)
-        assert abs(a - b) < 1e-4, losses
+    for key in ("[8]", "[2, 2, 2]"):
+        for a, b in zip(losses["None"], losses[key]):
+            assert np.isfinite(b)
+            assert abs(a - b) < 1e-4, losses
 
 
 def test_buddy_preprocessing_memory_sharded(setup):
