@@ -9,14 +9,12 @@ Two paths, same math as the reference (src/heuristics.py):
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 import scipy.sparse as ssp
 
 import jax.numpy as jnp
-
-from subgraph_sketching_tpu.ops.segment import segment_sum
 
 
 # ------------------------------------------------------------------- host --
