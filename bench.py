@@ -116,7 +116,10 @@ def main():
             tpu_eps = bench_tpu(src, dst, mh, hll)
             break
         except RuntimeError as e:
-            print(f"# TPU attempt {attempt + 1} failed: {e}", flush=True)
+            # stderr: stdout must stay the single JSON line (driver contract)
+            import sys
+            print(f"# TPU attempt {attempt + 1} failed: {e}",
+                  file=sys.stderr, flush=True)
             if attempt < 2:
                 time.sleep(120)
     if tpu_eps is None:

@@ -622,14 +622,18 @@ class ElphTrainer:
                 # reuse its plan instead of re-sorting per split
                 self._plan_edges = getattr(self, "_plan_edges", {})
                 reuse = next(
-                    (s for s, (e, w) in self._plan_edges.items()
-                     if e.shape == ds.edge_index.shape
+                    (s for s, (e, w, nn_) in self._plan_edges.items()
+                     if nn_ == ds.num_nodes
+                     and e.shape == ds.edge_index.shape
                      and np.array_equal(e, ds.edge_index)
                      and np.array_equal(w, ds.edge_weight)), None)
                 if reuse is not None:
                     self._spmm_plans[split] = self._spmm_plans[reuse]
                     d["spmm_tables"] = self._data[reuse]["spmm_tables"]
                 else:
+                    # a re-staged split must not leave stale reuse records
+                    self._plan_edges.pop(split, None)
+                    self._spmm_plans.pop(split, None)
                     ein, wn, _ = gcn_norm(jnp.asarray(ds.edge_index),
                                           jnp.asarray(ds.edge_weight),
                                           ds.num_nodes, None)
@@ -639,7 +643,8 @@ class ElphTrainer:
                     if plan is not None:
                         self._spmm_plans[split] = plan
                         self._plan_edges[split] = (ds.edge_index,
-                                                   ds.edge_weight)
+                                                   ds.edge_weight,
+                                                   ds.num_nodes)
                         d["spmm_tables"] = tuple(
                             _replicate_on(self.mesh, t)
                             for t in plan.tables)
