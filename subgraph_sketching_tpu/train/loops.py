@@ -825,9 +825,23 @@ class ElphTrainer:
         """Full-graph forward once, then batched feature lookup + scoring
         (reference get_elph_preds, inference.py:167-205)."""
         data = self._data[split]
-        feats, _ = self._node_feats(state.params["gnn"],
-                                    state.batch_stats["gnn"], data, False,
-                                    plan=self._spmm_plans.get(split))
+        # jit the eval-time full-graph forward: eagerly it is dozens of op
+        # dispatches, each paying the remote-relay roundtrip at scale
+        self._feats_jits = getattr(self, "_feats_jits", {})
+        fj = self._feats_jits.get(split)
+        if fj is None:
+            plan = self._spmm_plans.get(split)
+            num_nodes = data["num_nodes"]
+
+            def _feats(params, batch_stats, arrays):
+                d2 = dict(arrays, num_nodes=num_nodes)
+                return self._node_feats(params, batch_stats, d2, False,
+                                        plan=plan)[0]
+
+            fj = jax.jit(_feats)
+            self._feats_jits[split] = fj
+        arrays = {k: v for k, v in data.items() if k != "num_nodes"}
+        feats = fj(state.params["gnn"], state.batch_stats["gnn"], arrays)
         total = int(data["links"].shape[0])
         sel = eval_subset(total, n_samples, self.cfg.dataset_name)
         n = len(sel)
