@@ -559,35 +559,44 @@ class ElphTrainer:
                 ei = np.concatenate([ei, np.zeros((2, pad), ei.dtype)], axis=1)
                 w = np.concatenate([w, np.zeros((pad,), w.dtype)])
             mask = np.concatenate([np.ones(E, bool), np.zeros(pad, bool)])
-        sketches = ds.sketches
-        if sketches is None:
-            if self._has_graph:
-                from subgraph_sketching_tpu.parallel.dist_sketch import (
-                    edge_sharded_build_hash_tables,
-                )
-                mh0, hll0 = initialise_sketches(ds.num_nodes,
-                                                self.sketch_params)
-                sketches = edge_sharded_build_hash_tables(
-                    jnp.asarray(ei), ds.num_nodes, self.sketch_params,
-                    self.mesh, jnp.asarray(mh0), jnp.asarray(hll0),
-                    mask=jnp.asarray(mask))
-            else:
-                from subgraph_sketching_tpu.ops.segment_scan import \
-                    make_auto_plan
-                plan = (make_auto_plan(ds.edge_index, ds.num_nodes,
-                                       max_slots=self.cfg.max_gather_slots)
-                        if self.cfg.use_plan else None)
-                sketches = build_hash_tables(jnp.asarray(ei), ds.num_nodes,
-                                             self.sketch_params, plan=plan)
-        if self._has_lane:
-            from subgraph_sketching_tpu.parallel.dist_sketch import (
-                lane_sharded_subgraph_features,
-            )
-            sf = lane_sharded_subgraph_features(
-                jnp.asarray(ds.links), sketches, self.sketch_params, self.mesh)
+        if self.cfg.use_struct_feature is False:
+            # reference zeroes the structure features under
+            # --use_struct_feature 0 (train.py:203-206, inference.py:189-192);
+            # skip the sketch build entirely — zeros ARE the staged features
+            sf = np.zeros((ds.links.shape[0], self.sketch_params.sf_dim),
+                          np.float32)
         else:
-            sf = subgraph_features_batched(ds.links, sketches,
-                                           self.sketch_params)
+            sketches = ds.sketches
+            if sketches is None:
+                if self._has_graph:
+                    from subgraph_sketching_tpu.parallel.dist_sketch import (
+                        edge_sharded_build_hash_tables,
+                    )
+                    mh0, hll0 = initialise_sketches(ds.num_nodes,
+                                                    self.sketch_params)
+                    sketches = edge_sharded_build_hash_tables(
+                        jnp.asarray(ei), ds.num_nodes, self.sketch_params,
+                        self.mesh, jnp.asarray(mh0), jnp.asarray(hll0),
+                        mask=jnp.asarray(mask))
+                else:
+                    from subgraph_sketching_tpu.ops.segment_scan import \
+                        make_auto_plan
+                    plan = (make_auto_plan(ds.edge_index, ds.num_nodes,
+                                           max_slots=self.cfg.max_gather_slots)
+                            if self.cfg.use_plan else None)
+                    sketches = build_hash_tables(jnp.asarray(ei),
+                                                 ds.num_nodes,
+                                                 self.sketch_params, plan=plan)
+            if self._has_lane:
+                from subgraph_sketching_tpu.parallel.dist_sketch import (
+                    lane_sharded_subgraph_features,
+                )
+                sf = lane_sharded_subgraph_features(
+                    jnp.asarray(ds.links), sketches, self.sketch_params,
+                    self.mesh)
+            else:
+                sf = subgraph_features_batched(ds.links, sketches,
+                                               self.sketch_params)
         d = {
             "links": _replicate_on(self.mesh, jnp.asarray(ds.links)),
             "labels": _replicate_on(self.mesh, jnp.asarray(ds.labels)),
