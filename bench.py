@@ -100,6 +100,50 @@ def bench_torch_cpu(src, dst, mh, hll):
     return len(src) / min(times)
 
 
+def _tpu_child():
+    """Run the TPU measurement and print ONE float (edges/s) on stdout.
+    Executed in a subprocess so the parent can enforce a deadline — the
+    remote relay sometimes HANGS (jax.devices() never returns) rather than
+    failing fast, and a hang cannot be caught with try/except."""
+    rng = np.random.default_rng(0)
+    src, dst = make_graph(rng)
+    mh = rng.integers(0, 2 ** 32 - 1, (NUM_NODES, NUM_PERM), dtype=np.uint32)
+    hll = rng.integers(0, 56, (NUM_NODES, 1 << HLL_P)).astype(np.int8)
+    print(bench_tpu(src, dst, mh, hll), flush=True)
+
+
+def _measure_tpu_with_deadline(attempts=3, deadline_s=None, retry_sleep=90):
+    """Run the TPU measurement in a child process with a hard per-attempt
+    deadline.  Fast failures ('Unable to initialize backend' during service
+    flaps) and hangs both become bounded retries, so a relay outage at round
+    end costs minutes, not the whole round."""
+    import os
+    import subprocess
+    import sys
+
+    if deadline_s is None:
+        deadline_s = int(os.environ.get("BENCH_TPU_DEADLINE_S", "420"))
+    for attempt in range(attempts):
+        try:
+            out = subprocess.run(
+                [sys.executable, __file__, "--tpu-child"],
+                capture_output=True, text=True, timeout=deadline_s)
+            if out.returncode == 0 and out.stdout.strip():
+                return float(out.stdout.strip().splitlines()[-1])
+            # stderr only: stdout stays the single JSON line (driver contract)
+            print(f"# TPU attempt {attempt + 1} failed (rc={out.returncode}):"
+                  f" {out.stderr.strip()[-300:]}", file=sys.stderr, flush=True)
+        except subprocess.TimeoutExpired:
+            print(f"# TPU attempt {attempt + 1} hit the {deadline_s}s "
+                  f"deadline (relay hang)", file=sys.stderr, flush=True)
+        except ValueError as e:
+            print(f"# TPU attempt {attempt + 1} bad output: {e}",
+                  file=sys.stderr, flush=True)
+        if attempt < attempts - 1:
+            time.sleep(retry_sleep)
+    return None
+
+
 def main():
     rng = np.random.default_rng(0)
     src, dst = make_graph(rng)
@@ -107,21 +151,7 @@ def main():
                       dtype=np.uint32)
     hll = rng.integers(0, 56, (NUM_NODES, 1 << HLL_P)).astype(np.int8)
 
-    # the remote-TPU relay occasionally fails fast with 'Unable to
-    # initialize backend' during service flaps; retry a few times so a
-    # transient outage at round end doesn't lose the measurement
-    tpu_eps = None
-    for attempt in range(3):
-        try:
-            tpu_eps = bench_tpu(src, dst, mh, hll)
-            break
-        except RuntimeError as e:
-            # stderr: stdout must stay the single JSON line (driver contract)
-            import sys
-            print(f"# TPU attempt {attempt + 1} failed: {e}",
-                  file=sys.stderr, flush=True)
-            if attempt < 2:
-                time.sleep(120)
+    tpu_eps = _measure_tpu_with_deadline()
     if tpu_eps is None:
         raise SystemExit("TPU backend unavailable after 3 attempts")
     base_eps = bench_torch_cpu(src, dst, mh, hll)
@@ -134,4 +164,8 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    if "--tpu-child" in sys.argv:
+        _tpu_child()
+    else:
+        main()
