@@ -28,6 +28,26 @@ from subgraph_sketching_tpu.graph.preprocess import (
 from subgraph_sketching_tpu.sketch.elph import subgraph_features
 
 
+def _bucketed_score(invoke, links: np.ndarray, min_bucket: int,
+                    max_bucket: int) -> np.ndarray:
+    """Shared bucket/pad/chunk loop: pad each ≤max_bucket chunk up to the
+    next power of two ≥ min_bucket, score with ``invoke``, slice off pads."""
+    links = np.asarray(links, dtype=np.int32)
+    n = len(links)
+    outs = []
+    for s0 in range(0, n, max_bucket):
+        chunk = links[s0:s0 + max_bucket]
+        bucket = min_bucket
+        while bucket < len(chunk):
+            bucket *= 2
+        pad = bucket - len(chunk)
+        if pad:
+            chunk = np.concatenate([chunk, np.zeros((pad, 2), np.int32)])
+        out = invoke(jnp.asarray(chunk))
+        outs.append(np.asarray(out[:bucket - pad] if pad else out))
+    return np.concatenate(outs)
+
+
 class LinkScorer:
     """Serve scores for arbitrary (src, dst) pairs from a trained trainer.
 
@@ -94,22 +114,11 @@ class LinkScorer:
     # -- public API ---------------------------------------------------------
     def score(self, links: np.ndarray) -> np.ndarray:
         """Scores (logits) for [B, 2] int link pairs, any B ≥ 1."""
-        links = np.asarray(links, dtype=np.int32)
-        n = len(links)
-        outs = []
-        for s0 in range(0, n, self.max_bucket):
-            chunk = links[s0:s0 + self.max_bucket]
-            bucket = self.min_bucket
-            while bucket < len(chunk):
-                bucket *= 2
-            pad = bucket - len(chunk)
-            if pad:
-                chunk = np.concatenate([chunk, np.zeros((pad, 2), np.int32)])
-            out = self._jit(self.state.params, self.state.batch_stats,
-                            jnp.asarray(chunk), self.sk, self.x, self.deg,
-                            self.emb_table)
-            outs.append(np.asarray(out[:bucket - pad] if pad else out))
-        return np.concatenate(outs)
+        return _bucketed_score(
+            lambda chunk: self._jit(self.state.params,
+                                    self.state.batch_stats, chunk, self.sk,
+                                    self.x, self.deg, self.emb_table),
+            links, self.min_bucket, self.max_bucket)
 
     def warmup(self, buckets: Optional[list] = None) -> None:
         """Pre-compile the given bucket sizes (default: min_bucket only) so
@@ -168,19 +177,58 @@ class ElphLinkScorer:
             training=False).ravel()
 
     def score(self, links: np.ndarray) -> np.ndarray:
-        links = np.asarray(links, dtype=np.int32)
-        n = len(links)
-        outs = []
-        for s0 in range(0, n, self.max_bucket):
-            chunk = links[s0:s0 + self.max_bucket]
-            bucket = self.min_bucket
-            while bucket < len(chunk):
-                bucket *= 2
-            pad = bucket - len(chunk)
-            if pad:
-                chunk = np.concatenate([chunk, np.zeros((pad, 2), np.int32)])
-            out = self._jit(self.pred_params, self.pred_bs,
-                            jnp.asarray(chunk), self.sk, self.feats,
-                            self.emb_table)
-            outs.append(np.asarray(out[:bucket - pad] if pad else out))
-        return np.concatenate(outs)
+        return _bucketed_score(
+            lambda chunk: self._jit(self.pred_params, self.pred_bs, chunk,
+                                    self.sk, self.feats, self.emb_table),
+            links, self.min_bucket, self.max_bucket)
+
+
+def scorer_from_checkpoint(checkpoint_dir: str, cfg=None,
+                           split: str = "train", min_bucket: int = 1024,
+                           max_bucket: int = 1 << 18):
+    """Rebuild the full serving stack from a training run directory.
+
+    A run started with ``--save_model --checkpoint_dir D`` writes
+    ``config.json`` (metrics_logging.MetricsLogger) and an orbax checkpoint
+    under D.  This reloads both in a fresh process: re-runs the
+    deterministic preprocessing (or reads its npz caches when the run used
+    ``--cache_subgraph_features``/``--load_hashes``), restores the trained
+    state into the rebuilt trainer, and returns a ready
+    LinkScorer/ElphLinkScorer with ``.restored_step`` set.  ``split`` picks
+    the message graph served against (e.g. "test" for ogbl-collab, where
+    val edges join the test message graph).
+    """
+    import os
+
+    import jax.random
+
+    from subgraph_sketching_tpu.config import Config
+    from subgraph_sketching_tpu.graph.datasets import get_data
+    from subgraph_sketching_tpu.graph.preprocess import build_link_dataset
+    from subgraph_sketching_tpu.runners.run import build_trainer
+    from subgraph_sketching_tpu.train.checkpoint import restore_into
+
+    if cfg is None:
+        path = os.path.join(checkpoint_dir, "config.json")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"{path} not found — pass cfg= explicitly, or train with "
+                f"--checkpoint_dir so config.json is written")
+        with open(path) as f:
+            cfg = Config.from_json(f.read())
+    splits, directed, _ = get_data(cfg)
+    datasets = {k: build_link_dataset(sd, cfg, k, directed=directed)
+                for k, sd in splits.items()}
+    num_features = (None if datasets["train"].x is None
+                    else datasets["train"].x.shape[-1])
+    trainer = build_trainer(cfg, datasets, num_features)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    state, step = restore_into(checkpoint_dir, state)
+    if cfg.model == "ELPH":
+        scorer = ElphLinkScorer(trainer, state, split=split,
+                                min_bucket=min_bucket, max_bucket=max_bucket)
+    else:
+        scorer = LinkScorer(trainer, datasets[split], state,
+                            min_bucket=min_bucket, max_bucket=max_bucket)
+    scorer.restored_step = step
+    return scorer

@@ -63,6 +63,59 @@ def test_scorer_requires_sketches(trained):
         LinkScorer(tr, no_sk, state)
 
 
+@pytest.mark.parametrize("model", ["BUDDY", "ELPH"])
+def test_scorer_from_checkpoint(model, tmp_path):
+    """Production path: train via the runner with --save_model
+    --checkpoint_dir, then rebuild the serving stack from disk alone in a
+    'fresh process' (no live trainer) and match the offline predictions."""
+    from subgraph_sketching_tpu.runners.run import run
+    from subgraph_sketching_tpu.serving import scorer_from_checkpoint
+
+    ckpt = str(tmp_path / "run")
+    cfg = Config(dataset_name="synth-ba", hidden_channels=16, batch_size=256,
+                 eval_batch_size=1024, epochs=1, model=model, K=20,
+                 save_model=True, checkpoint_dir=ckpt)
+    run(cfg)
+    scorer = scorer_from_checkpoint(ckpt, split="valid", min_bucket=64)
+    assert scorer.restored_step == 1
+
+    # rebuild the same trained state independently to get the oracle preds
+    splits, directed, _ = get_data(cfg)
+    ds = {k: build_link_dataset(sd, cfg, k, directed=directed)
+          for k, sd in splits.items()}
+    links = ds["valid"].links[:100]
+    got = scorer.score(links)
+    assert got.shape == (100,) and np.isfinite(got).all()
+    # determinism of the full restore+serve stack
+    np.testing.assert_array_equal(got, scorer_from_checkpoint(
+        ckpt, split="valid", min_bucket=64).score(links))
+
+
+def test_serve_cli(tmp_path):
+    """The serve CLI end-to-end: checkpoint dir + .npy queries -> scores."""
+    from subgraph_sketching_tpu.runners.run import run
+    from subgraph_sketching_tpu.runners.serve import main as serve_main
+
+    ckpt = str(tmp_path / "run")
+    cfg = Config(dataset_name="synth-ba", hidden_channels=16, batch_size=256,
+                 eval_batch_size=1024, epochs=1, model="BUDDY", K=20,
+                 save_model=True, checkpoint_dir=ckpt)
+    run(cfg)
+    queries = np.array([[1, 2], [3, 4], [5, 6]], np.int64)
+    qpath, opath = str(tmp_path / "q.npy"), str(tmp_path / "scores.npy")
+    np.save(qpath, queries)
+    scores = serve_main(["--checkpoint_dir", ckpt, "--links", qpath,
+                         "--out", opath, "--min_bucket", "32"])
+    assert scores.shape == (3,)
+    np.testing.assert_array_equal(np.load(opath), scores)
+    # text-file input path
+    tpath = str(tmp_path / "q.txt")
+    np.savetxt(tpath, queries, fmt="%d")
+    scores2 = serve_main(["--checkpoint_dir", ckpt, "--links", tpath,
+                          "--min_bucket", "32"])
+    np.testing.assert_array_equal(scores2, scores)
+
+
 @pytest.mark.parametrize("with_embedding", [False, True])
 def test_elph_scorer_matches_offline_predict(with_embedding):
     """with_embedding=True also covers the ogbl-ddi shape: trainable
