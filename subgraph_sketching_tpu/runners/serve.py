@@ -32,6 +32,11 @@ def load_links(path: str) -> np.ndarray:
     if links.ndim != 2 or links.shape[1] != 2:
         raise ValueError(f"--links must be [N, 2] (src, dst); got shape "
                          f"{links.shape}")
+    if len(links) == 0:
+        raise ValueError("--links file contains no link pairs")
+    if not np.issubdtype(links.dtype, np.integer):
+        if not np.array_equal(links, links.astype(np.int64)):
+            raise ValueError("--links must contain integer node ids")
     return links.astype(np.int32)
 
 
@@ -66,6 +71,12 @@ def main(argv=None):
         max_bucket=args.max_bucket)
     print(f"restored step {scorer.restored_step} and rebuilt serving state "
           f"in {time.time() - t0:.2f}s")
+    # XLA gathers silently clamp out-of-bounds indices — validate here so
+    # garbage queries fail loudly instead of producing plausible scores
+    if links.min() < 0 or links.max() >= scorer.num_nodes:
+        raise SystemExit(
+            f"link ids must be in [0, {scorer.num_nodes}); got range "
+            f"[{links.min()}, {links.max()}]")
     t0 = time.time()
     scores = scorer.score(links)
     dt = time.time() - t0

@@ -34,6 +34,8 @@ def _bucketed_score(invoke, links: np.ndarray, min_bucket: int,
     next power of two ≥ min_bucket, score with ``invoke``, slice off pads."""
     links = np.asarray(links, dtype=np.int32)
     n = len(links)
+    if n == 0:
+        return np.zeros((0,), np.float32)
     outs = []
     for s0 in range(0, n, max_bucket):
         chunk = links[s0:s0 + max_bucket]
@@ -63,12 +65,12 @@ class LinkScorer:
 
     def __init__(self, trainer, dataset: LinkDataset, state,
                  min_bucket: int = 1024, max_bucket: int = 1 << 18):
-        if dataset.sketches is None:
+        cfg = trainer.cfg
+        if dataset.sketches is None and cfg.use_struct_feature:
             raise ValueError(
                 "serving needs the sketch stacks: build the dataset with "
                 "build_link_dataset (BUDDY path) so LinkDataset.sketches "
                 "is retained")
-        cfg = trainer.cfg
         if cfg.use_RA:
             raise NotImplementedError(
                 "RA features need a host CSR pass per query batch; train "
@@ -77,7 +79,11 @@ class LinkScorer:
         self.model = trainer.model
         self.sketch_params = sketch_params_from_config(cfg)
         self.state = state
-        self.sk = dataset.sketches
+        # under --use_struct_feature 0 the model was trained on zeroed
+        # structure features (reference train.py:58) — serve the same zeros,
+        # never live sketch features (train/serve skew)
+        self.sk = dataset.sketches if cfg.use_struct_feature else None
+        self.num_nodes = dataset.num_nodes
         self.x = (jnp.asarray(dataset.x)
                   if trainer.use_feature and dataset.x is not None else None)
         self.deg = jnp.asarray(dataset.degrees, dtype=jnp.float32)
@@ -101,7 +107,9 @@ class LinkScorer:
         # zero-one knockout / floor are applied inside subgraph_features
         # (sketch/elph.py:187-199) from the same SketchParams the
         # preprocessing used, so online features match the staged ones
-        sf = subgraph_features(links, sk, self.sketch_params)
+        sf = (subgraph_features(links, sk, self.sketch_params)
+              if sk is not None else
+              jnp.zeros((links.shape[0], self.sketch_params.sf_dim)))
         variables = {"params": params, "batch_stats": batch_stats}
         out = self.model.apply(
             variables, links=links, edge_index=None, frozen_table=emb_table,
@@ -145,12 +153,22 @@ class ElphLinkScorer:
         self.sketch_params = trainer.sketch_params
         data = trainer._data[split]
         num_nodes = data["num_nodes"]
+        self.num_nodes = num_nodes
         ei = np.asarray(data["edge_index"])
-        plan = (make_auto_plan(ei, num_nodes,
-                               max_slots=cfg.max_gather_slots)
-                if cfg.use_plan else None)
-        self.sk = build_hash_tables(jnp.asarray(ei), num_nodes,
-                                    self.sketch_params, plan=plan)
+        if data.get("mask") is not None:
+            # graph-axis staging pads the edge list with (0, 0) columns
+            # (loops.py stage); drop them or node 0 gains phantom edges
+            ei = ei[:, np.asarray(data["mask"])]
+        if cfg.use_struct_feature:
+            plan = (make_auto_plan(ei, num_nodes,
+                                   max_slots=cfg.max_gather_slots)
+                    if cfg.use_plan else None)
+            self.sk = build_hash_tables(jnp.asarray(ei), num_nodes,
+                                        self.sketch_params, plan=plan)
+        else:
+            # trained on zeroed structure features (--use_struct_feature 0,
+            # reference train.py:203-206) — serve the same zeros
+            self.sk = None
         feats, _ = trainer._node_feats(
             state.params["gnn"], state.batch_stats["gnn"], data, False,
             plan=trainer._spmm_plans.get(split))
@@ -169,7 +187,9 @@ class ElphLinkScorer:
         self._jit = jax.jit(self._score_batch)
 
     def _score_batch(self, params, batch_stats, links, sk, feats, emb_table):
-        sf = subgraph_features(links, sk, self.sketch_params)
+        sf = (subgraph_features(links, sk, self.sketch_params)
+              if sk is not None else
+              jnp.zeros((links.shape[0], self.sketch_params.sf_dim)))
         nf = feats[links] if feats is not None else None
         emb = emb_table[links] if emb_table is not None else None
         return self.predictor.apply(

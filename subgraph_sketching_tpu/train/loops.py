@@ -265,6 +265,10 @@ class BuddyTrainer:
 
     # -- data staging -------------------------------------------------------
     def stage(self, split: str, ds: LinkDataset):
+        # re-staging must invalidate jits specialised to the old staging
+        # (the train epoch jit bakes in the link count)
+        if split == "train" and hasattr(self, "_epoch_jit"):
+            del self._epoch_jit
         # Every per-link scalar/row (sf, label, endpoint degrees, RA) is
         # static for the split, so pack them into ONE [L, F] f32 row array.
         # The per-batch gather is then a single wide row gather instead of
@@ -550,6 +554,12 @@ class ElphTrainer:
         from subgraph_sketching_tpu.sketch.elph import (
             build_hash_tables, initialise_sketches, subgraph_features_batched,
         )
+        # re-staging must invalidate jits specialised to the old staging:
+        # the eval forward closes over this split's plan + num_nodes, the
+        # train epoch jit bakes in the link count
+        getattr(self, "_feats_jits", {}).pop(split, None)
+        if split == "train" and hasattr(self, "_epoch_jit"):
+            del self._epoch_jit
         ei, w, mask = ds.edge_index, ds.edge_weight, None
         if self._has_graph:
             D = self.mesh.shape["graph"]
@@ -638,6 +648,10 @@ class ElphTrainer:
                      and np.array_equal(w, ds.edge_weight)), None)
                 if reuse is not None:
                     self._spmm_plans[split] = self._spmm_plans[reuse]
+                    # keep this split's edge record current too, or a later
+                    # split could match a stale record left from a previous
+                    # staging of this split against a different graph
+                    self._plan_edges[split] = self._plan_edges[reuse]
                     d["spmm_tables"] = self._data[reuse]["spmm_tables"]
                 else:
                     # a re-staged split must not leave stale reuse records

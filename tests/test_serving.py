@@ -63,6 +63,48 @@ def test_scorer_requires_sketches(trained):
         LinkScorer(tr, no_sk, state)
 
 
+def test_bucketed_score_empty_query():
+    from subgraph_sketching_tpu.serving import _bucketed_score
+    out = _bucketed_score(lambda c: 1 / 0, np.zeros((0, 2), np.int32),
+                          64, 128)
+    assert out.shape == (0,)
+
+
+@pytest.mark.parametrize("model", ["BUDDY", "ELPH"])
+def test_serving_honors_struct_feature_knockout(model):
+    """A model trained with --use_struct_feature 0 saw only zeroed
+    structure features; the scorer must serve the same zeros (never live
+    sketch features) or scores silently skew from the offline path."""
+    from subgraph_sketching_tpu.graph.preprocess import (
+        sketch_params_from_config,
+    )
+    from subgraph_sketching_tpu.serving import ElphLinkScorer
+    from subgraph_sketching_tpu.train.loops import BuddyTrainer, ElphTrainer
+
+    cfg = Config(dataset_name="synth-ba", hidden_channels=16, batch_size=256,
+                 eval_batch_size=1024, model=model, K=20,
+                 use_struct_feature=False)
+    splits, _, _ = get_data(cfg)
+    ds = {k: build_link_dataset(sd, cfg, k) for k, sd in splits.items()}
+    if model == "BUDDY":
+        tr = BuddyTrainer(cfg, ds["train"], ds["train"].x.shape[-1])
+    else:
+        tr = ElphTrainer(cfg, ds["train"], sketch_params_from_config(cfg),
+                         ds["train"].x.shape[-1])
+    tr.stage("valid", ds["valid"])
+    state = tr.init_state(jax.random.PRNGKey(0))
+    state, _ = tr.train_epoch(state, np.random.default_rng(0),
+                              jax.random.PRNGKey(0))
+    offline_pred, _ = tr.predict(state, "valid")
+    if model == "BUDDY":
+        scorer = LinkScorer(tr, ds["valid"], state, min_bucket=64)
+    else:
+        scorer = ElphLinkScorer(tr, state, split="valid", min_bucket=64)
+    online_pred = scorer.score(ds["valid"].links)
+    np.testing.assert_allclose(online_pred, offline_pred, rtol=1e-5,
+                               atol=1e-5)
+
+
 @pytest.mark.parametrize("model", ["BUDDY", "ELPH"])
 def test_scorer_from_checkpoint(model, tmp_path):
     """Production path: train via the runner with --save_model
@@ -114,6 +156,18 @@ def test_serve_cli(tmp_path):
     scores2 = serve_main(["--checkpoint_dir", ckpt, "--links", tpath,
                           "--min_bucket", "32"])
     np.testing.assert_array_equal(scores2, scores)
+    # out-of-range node ids must fail loudly (XLA gathers silently clamp)
+    bad = str(tmp_path / "bad.npy")
+    np.save(bad, np.array([[0, 10 ** 6]], np.int64))
+    with pytest.raises(SystemExit, match="link ids"):
+        serve_main(["--checkpoint_dir", ckpt, "--links", bad,
+                    "--min_bucket", "32"])
+    # empty query files are rejected with a clear message
+    empty = str(tmp_path / "empty.npy")
+    np.save(empty, np.zeros((0, 2), np.int64))
+    with pytest.raises(ValueError, match="no link pairs"):
+        serve_main(["--checkpoint_dir", ckpt, "--links", empty,
+                    "--min_bucket", "32"])
 
 
 @pytest.mark.parametrize("with_embedding", [False, True])
