@@ -202,6 +202,11 @@ class ElphLinkScorer:
                                     self.sk, self.feats, self.emb_table),
             links, self.min_bucket, self.max_bucket)
 
+    def warmup(self, buckets: Optional[list] = None) -> None:
+        """Pre-compile the given bucket sizes (default: min_bucket only)."""
+        for b in (buckets or [self.min_bucket]):
+            self.score(np.zeros((b, 2), np.int32))
+
 
 def scorer_from_checkpoint(checkpoint_dir: str, cfg=None,
                            split: str = "train", min_bucket: int = 1024,
