@@ -183,12 +183,8 @@ def build_link_dataset(split_data: SplitData, cfg: Config, split: str,
             from subgraph_sketching_tpu.sketch.elph import initialise_sketches
             D = mesh.shape["graph"]
             part = make_node_partition(g.edge_index, g.num_nodes, D)
-            mh0, hll0 = initialise_sketches(g.num_nodes, params)
-            pad = part.padded_nodes - g.num_nodes
-            mh0 = np.concatenate(
-                [mh0, np.full((pad, mh0.shape[1]), np.uint32(0xFFFFFFFF))])
-            hll0 = np.concatenate(
-                [hll0, np.zeros((pad, hll0.shape[1]), np.int8)])
+            mh0, hll0 = part.pad_init(*initialise_sketches(g.num_nodes,
+                                                           params))
             sketches = node_sharded_build_hash_tables(part, params, mesh,
                                                       mh0, hll0)
         else:

@@ -124,8 +124,17 @@ class SortedSegmentPlan:
         dst = np.ascontiguousarray(edge_index[1], dtype=np.int32)
         e = len(src)
         if e == 0:
+            # fully initialise the degenerate plan: staging/table accessors
+            # (stage_edge_data, gather_idx, PlanSpmm.tables) must work on a
+            # zero-edge split, not AttributeError
             self.num_subruns = 0
             self.order = np.zeros(0, dtype=np.int64)
+            self._gather_idx_np = np.zeros(0, dtype=np.int32)
+            self._gather_idx_dev = None
+            self._slot_edge_cache = np.zeros(0, dtype=np.int64)
+            self._prefix = None
+            self._sub_dst_np = np.zeros(0, dtype=np.int32)
+            self._sub_dst_dev = None
             return
         native = _native_plan_tables(src, dst, num_nodes, sub_len)
         if native is not None:
@@ -317,7 +326,19 @@ class SortedSegmentPlan:
             mext = ((t >> 7) & LB) * jnp.uint32(0xFF)
             return (a & mext) | (b & ~mext)
 
-        half = self.sub_len
+        # the halving tree needs a power-of-two slot axis; plans support any
+        # sub_len, so pad the axis with reduction identities first (no-op
+        # for the default power-of-two sub_len)
+        L = self.sub_len
+        Lp = 1 << (L - 1).bit_length()
+        if Lp != L:
+            S = self.num_subruns
+            vm = jnp.concatenate(
+                [vm, jnp.full((S, Lp - L, P), 0xFFFFFFFF, jnp.uint32)],
+                axis=1)
+            vh = jnp.concatenate(
+                [vh, jnp.zeros((S, Lp - L, m // 4), jnp.uint32)], axis=1)
+        half = Lp
         while half > 1:
             half //= 2
             vm = jnp.minimum(vm[:, :half], vm[:, half:2 * half])
@@ -356,7 +377,16 @@ class ChunkedSegmentPlan:
         S = base.num_subruns
         self.sub_len = L
         if S == 0:
+            # fully initialise the degenerate plan (see SortedSegmentPlan)
             self.num_chunks = 0
+            self.per_chunk = 0
+            self.window = 1
+            self._lo_np = np.zeros(0, dtype=np.int32)
+            self._gather_chunks_np = np.zeros((0, 0), dtype=np.int32)
+            self._sub_local_np = np.zeros((0, 0), dtype=np.int32)
+            self._dev = None
+            self._padded = 0
+            self._slot_edge_chunks_np = np.zeros((0, 0), dtype=np.int64)
             return
         per_chunk = max(1, max_slots // L)          # sub-runs per chunk
         C = (S + per_chunk - 1) // per_chunk

@@ -65,16 +65,21 @@ class HeartbeatDetector:
         os.makedirs(directory, exist_ok=True)
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
+        # check() also beats (from the main thread) to get a same-clock
+        # reference timestamp; serialise against the daemon thread's beats
+        # or the two race on the shared tmp file
+        self._beat_lock = threading.Lock()
 
     def _path(self, pid: int) -> str:
         return os.path.join(self.dir, f"hb_{pid}")
 
     def _beat_once(self) -> None:
         # atomic replace so a reader never sees a partial file
-        tmp = self._path(self.pid) + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(time.time()))
-        os.replace(tmp, self._path(self.pid))
+        with self._beat_lock:
+            tmp = self._path(self.pid) + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(str(time.time()))
+            os.replace(tmp, self._path(self.pid))
 
     def start(self) -> "HeartbeatDetector":
         self._beat_once()
@@ -109,7 +114,16 @@ class HeartbeatDetector:
     def check(self) -> None:
         """Raise PeerFailure if any peer's heartbeat is older than
         ``timeout``.  Call between steps/epochs on every process."""
-        now = time.time()
+        # Reference clock = our OWN heartbeat file's mtime, written right
+        # now: on NFS/GCS-fuse the server assigns mtimes, so comparing peer
+        # mtimes against local time.time() would bias ages by host<->server
+        # clock skew (a 70s-slow server with timeout=60 would kill healthy
+        # jobs).  Same-source timestamps make the skew cancel.
+        try:
+            self._beat_once()
+            now = os.path.getmtime(self._path(self.pid))
+        except OSError:
+            now = time.time()  # own beat failed: degrade gracefully
         dead = []
         for p in range(self.n):
             if p == self.pid:

@@ -66,66 +66,91 @@ class NodePartitionPlan:
     def padded_nodes(self) -> int:
         return self.n_dev * self.shard_size
 
+    def pad_init(self, init_mh: np.ndarray, init_hll: np.ndarray):
+        """Pad hop-0 sketches to ``padded_nodes`` rows with the reduction
+        identities (minhash min identity 0xFFFFFFFF, HLL max identity 0) —
+        the single place these identities are encoded for padding."""
+        pad = self.padded_nodes - init_mh.shape[0]
+        if pad == 0:
+            return init_mh, init_hll
+        mh = np.concatenate(
+            [init_mh, np.full((pad, init_mh.shape[1]),
+                              np.iinfo(init_mh.dtype).max, init_mh.dtype)])
+        hll = np.concatenate(
+            [init_hll, np.zeros((pad, init_hll.shape[1]), init_hll.dtype)])
+        return mh, hll
+
 
 def make_node_partition(edge_index: np.ndarray, num_nodes: int,
                         n_dev: int) -> NodePartitionPlan:
-    """Build the static halo-exchange plan on host (numpy, O(E log E))."""
+    """Build the static halo-exchange plan on host.
+
+    Fully vectorised numpy, O(E log E) total — no per-(sender, receiver)
+    passes over the edge list and no per-edge Python (the previous
+    implementation's O(D^2 E) masks + dict lookups were minutes of
+    single-thread work at citation2 scale)."""
     src = np.asarray(edge_index[0], dtype=np.int64)
     dst = np.asarray(edge_index[1], dtype=np.int64)
     S = -(-num_nodes // n_dev)
     owner_src = src // S
     owner_dst = dst // S
 
-    # halo sets: for each (sender s, receiver d), the sorted unique nodes of
-    # shard s appearing as src in shard d's edges
-    send_lists: list[list[np.ndarray]] = [[None] * n_dev for _ in range(n_dev)]
-    H = 1
-    for d in range(n_dev):
-        e_d = owner_dst == d
-        for s in range(n_dev):
-            if s == d:
-                send_lists[s][d] = np.zeros((0,), np.int64)
-                continue
-            need = np.unique(src[e_d & (owner_src == s)])
-            send_lists[s][d] = need
-            H = max(H, len(need))
+    # ---- halo sets: unique (receiver d, sender s, node u) triples --------
+    # encode each remote edge's (d, s, u) as one int64 key; np.unique then
+    # yields every (d, s) group's sorted-by-u member list at once, matching
+    # the reference semantics (sorted unique per pair)
+    remote = owner_src != owner_dst
+    r_src, r_dst = src[remote], dst[remote]
+    r_os, r_od = owner_src[remote], owner_dst[remote]
+    M = np.int64(n_dev) * S                      # > any node id
+    key = (r_od * n_dev + r_os) * M + r_src
+    uniq, inv = np.unique(key, return_inverse=True)
+    u_sd = uniq // M                             # d * n_dev + s
+    u_src = uniq % M
+    # rank of each unique entry within its (d, s) group
+    if len(uniq):
+        grp_change = np.empty(len(uniq), dtype=bool)
+        grp_change[0] = True
+        np.not_equal(u_sd[1:], u_sd[:-1], out=grp_change[1:])
+        grp_starts = np.flatnonzero(grp_change)
+        rank = np.arange(len(uniq), dtype=np.int64) - \
+            grp_starts[np.cumsum(grp_change) - 1]
+        counts_sd = np.bincount(u_sd, minlength=n_dev * n_dev)
+        H = max(1, int(counts_sd.max()))
+    else:
+        rank = np.zeros(0, np.int64)
+        H = 1
     send_idx = np.zeros((n_dev, n_dev, H), np.int32)
     send_mask = np.zeros((n_dev, n_dev, H), bool)
-    # halo-buffer position of remote node u for receiver d: s*H + rank
-    pos_of: list[dict] = [dict() for _ in range(n_dev)]
-    for s in range(n_dev):
-        for d in range(n_dev):
-            lst = send_lists[s][d]
-            send_idx[s, d, :len(lst)] = lst - s * S
-            send_mask[s, d, :len(lst)] = True
-            for r, u in enumerate(lst):
-                pos_of[d][int(u)] = s * H + r
+    d_of = u_sd // n_dev
+    s_of = u_sd % n_dev
+    send_idx[s_of, d_of, rank] = u_src - s_of * S
+    send_mask[s_of, d_of, rank] = True
+    # halo-buffer position of each remote edge's src for its receiver
+    halo_pos = s_of[inv] * H + rank[inv]
 
-    # per-device edge lists
-    loc, hal = [], []
-    for d in range(n_dev):
-        e_d = np.nonzero(owner_dst == d)[0]
-        is_local = owner_src[e_d] == d
-        le = e_d[is_local]
-        he = e_d[~is_local]
-        loc.append((src[le] - d * S, dst[le] - d * S))
-        hal.append((np.array([pos_of[d][int(u)] for u in src[he]],
-                             np.int64), dst[he] - d * S))
-    E_loc = max(max((len(a) for a, _ in loc), default=0), 1)
-    E_halo = max(max((len(a) for a, _ in hal), default=0), 1)
-
-    def _pad(pairs, E):
+    # ---- per-device edge lists (group by owner_dst via stable sort) ------
+    def _grouped(cols, owners):
+        order = np.argsort(owners, kind="stable")
+        counts = np.bincount(owners, minlength=n_dev)
+        E = max(1, int(counts.max()) if len(owners) else 1)
+        bounds = np.concatenate([[0], np.cumsum(counts)])
         s_arr = np.zeros((n_dev, E), np.int32)
         d_arr = np.zeros((n_dev, E), np.int32)
         m_arr = np.zeros((n_dev, E), bool)
-        for d, (a, b) in enumerate(pairs):
-            s_arr[d, :len(a)] = a
-            d_arr[d, :len(a)] = b
-            m_arr[d, :len(a)] = True
+        a, b = (c[order] for c in cols)
+        for d in range(n_dev):
+            lo, hi = bounds[d], bounds[d + 1]
+            s_arr[d, :hi - lo] = a[lo:hi]
+            d_arr[d, :hi - lo] = b[lo:hi]
+            m_arr[d, :hi - lo] = True
         return s_arr, d_arr, m_arr
 
-    ls, ld, lm = _pad(loc, E_loc)
-    hs, hd, hm = _pad(hal, E_halo)
+    local = ~remote
+    ls, ld, lm = _grouped((src[local] - owner_dst[local] * S,
+                           dst[local] - owner_dst[local] * S),
+                          owner_dst[local])
+    hs, hd, hm = _grouped((halo_pos, r_dst - r_od * S), r_od)
     return NodePartitionPlan(num_nodes=num_nodes, n_dev=n_dev, shard_size=S,
                              halo_width=H, send_idx=send_idx,
                              send_mask=send_mask, local_src=ls, local_dst=ld,
@@ -258,9 +283,12 @@ def node_sharded_subgraph_features(
 
         mh_u, hll_u, cu = rows_of(lnk[:, 0])
         mh_v, hll_v, cv = rows_of(lnk[:, 1])
-        # identical feature math to the single-device path (sketch/elph.py)
-        jac = jaccard(mh_u[1:][:, None], mh_v[1:][None, :])      # [K, K, B]
-        unions = jnp.maximum(hll_u[1:][:, None], hll_v[1:][None, :])
+        # identical feature math to the single-device path (sketch/elph.py);
+        # the slice start adapts so K-row hops-only stacks (hop 0 dropped to
+        # save HBM at citation2 scale) work like the (K+1)-row full stacks
+        s0 = mh_u.shape[0] - params.max_hops
+        jac = jaccard(mh_u[s0:][:, None], mh_v[s0:][None, :])    # [K, K, B]
+        unions = jnp.maximum(hll_u[s0:][:, None], hll_v[s0:][None, :])
         inter = jac * hll_count(unions, params.hll_p)
         inter = jnp.transpose(inter, (2, 0, 1))                  # [B, K, K]
         return inclusion_exclusion_ladder(inter, cu, cv, params)

@@ -85,10 +85,7 @@ def measure_node_sharded_scaling(num_nodes: int = 20000, avg_deg: int = 16,
     for d in device_counts:
         mesh = make_mesh([d], ("graph",))
         plan = make_node_partition(ei, num_nodes, d)
-        pad = plan.padded_nodes - num_nodes
-        mh0p = np.concatenate(
-            [mh0, np.full((pad, mh0.shape[1]), np.uint32(0xFFFFFFFF))])
-        hll0p = np.concatenate([hll0, np.zeros((pad, hll0.shape[1]), np.int8)])
+        mh0p, hll0p = plan.pad_init(mh0, hll0)
 
         def run():
             sk = node_sharded_build_hash_tables(plan, params, mesh, mh0p,

@@ -257,3 +257,36 @@ def test_ppr_sums_to_one():
     scores, links_sorted = personalized_pagerank(A, links)
     assert (scores >= 0).all() and (scores <= 1).all()
     assert links_sorted.shape == links.shape
+
+
+def test_empty_edge_list_plan_fully_usable():
+    """Regression: the zero-edge early return left the plan half-built —
+    stage_edge_data / gather_idx / PlanSpmm.tables raised AttributeError."""
+    from subgraph_sketching_tpu.ops.segment_scan import PlanSpmm
+
+    ei = np.zeros((2, 0), np.int32)
+    plan = make_plan(ei, 5)
+    x = jnp.arange(10, dtype=jnp.uint32).reshape(5, 2)
+    np.testing.assert_array_equal(plan.reduce(x, "min"), x)
+    assert plan.stage_edge_data(np.zeros(0, np.float32)).shape == (0,)
+    assert plan.gather_idx.shape == (0,)
+    chunked = plan.chunk(16)
+    np.testing.assert_array_equal(chunked.reduce(x, "min"), x)
+    chunked.stage_edge_data(np.zeros(0, np.float32))
+    ps = PlanSpmm(ei, np.zeros(0, np.float32), 5)
+    assert len(ps.tables) == 6
+    np.testing.assert_array_equal(np.asarray(ps(jnp.ones((5, 3)))), 0.0)
+
+
+def test_reduce_sketches_non_pow2_sub_len():
+    """Regression: the fused halving tree silently dropped slots when
+    sub_len was not a power of two (constructor accepts any sub_len)."""
+    rng = np.random.default_rng(3)
+    ei = np.asarray(barabasi_albert_graph(60, 7, seed=1))
+    mh = jnp.asarray(rng.integers(0, 2 ** 32 - 1, (60, 8), dtype=np.uint32))
+    hll = jnp.asarray(rng.integers(0, 56, (60, 8)).astype(np.int8))
+    for sub_len in (3, 5, 12):
+        plan = make_plan(ei, 60, sub_len=sub_len)
+        got_mh, got_hll = plan.reduce_sketches(mh, hll)
+        np.testing.assert_array_equal(got_mh, plan.reduce(mh, "min"))
+        np.testing.assert_array_equal(got_hll, plan.reduce(hll, "max"))

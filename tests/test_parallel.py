@@ -102,6 +102,15 @@ def test_node_sharded_features_match_single_device(setup):
     sf_ref = np.asarray(subgraph_features(jnp.asarray(links), sk_ref, params))
     sf = np.asarray(node_sharded_subgraph_features(links, sk, params, mesh))
     np.testing.assert_allclose(sf, sf_ref, rtol=1e-6, atol=1e-4)
+    # the hops-only stack format (hop 0 dropped, the citation2-scale HBM
+    # saver accepted by sketch/elph._pairwise_intersections) must work here
+    # too — regression: the slice start was hardcoded for full stacks
+    from subgraph_sketching_tpu.sketch.params import Sketches
+    sk_drop = Sketches(minhash=sk.minhash[1:], hll=sk.hll[1:],
+                       cards=sk.cards)
+    sf_drop = np.asarray(
+        node_sharded_subgraph_features(links, sk_drop, params, mesh))
+    np.testing.assert_allclose(sf_drop, sf_ref, rtol=1e-6, atol=1e-4)
 
 
 def test_distributed_train_step_matches_single_device(setup):
