@@ -32,10 +32,12 @@ import numpy as np
 def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None) -> Tuple[int, int]:
-    """jax.distributed.initialize with env-based autodetection.
+    """jax.distributed.initialize, with env/cluster autodetection when
+    called with no arguments (TPU pod / SLURM launchers set the env vars
+    jax's cluster plugins read).
 
     Call before any other jax API on every host.  Returns
-    (process_index, process_count).  No-op on a single host.
+    (process_index, process_count).
     """
     if num_processes is not None and num_processes > 1:
         jax.distributed.initialize(coordinator_address=coordinator_address,
@@ -43,19 +45,53 @@ def initialize(coordinator_address: Optional[str] = None,
                                    process_id=process_id)
     elif coordinator_address is not None:
         jax.distributed.initialize(coordinator_address=coordinator_address)
+    else:
+        try:
+            jax.distributed.initialize()
+        except Exception as e:  # no recognisable multi-process context
+            # stay single-process LOUDLY, so a misconfigured pod launcher
+            # is visible instead of N hosts silently running independently
+            print(f"multihost.initialize: no distributed context detected "
+                  f"({type(e).__name__}); continuing single-process",
+                  flush=True)
     return jax.process_index(), jax.process_count()
 
 
 def process_shard(n: int, process_index: Optional[int] = None,
                   process_count: Optional[int] = None) -> slice:
-    """This host's contiguous shard of n items (links, edges, ...)."""
+    """This host's contiguous shard of n items (links, edges, ...).
+
+    Shards are ceil(n / process_count) long except the tail, which may be
+    short or empty when n is not a multiple — fine for independent host
+    work; for global-array staging use ``host_local_batch``, which enforces
+    the uniform-shard contract."""
     pi = jax.process_index() if process_index is None else process_index
     pc = jax.process_count() if process_count is None else process_count
     per = (n + pc - 1) // pc
     return slice(pi * per, min(n, (pi + 1) * per))
 
 
-def host_local_batch(global_array: np.ndarray) -> np.ndarray:
+def host_local_batch(global_array: np.ndarray,
+                     pad_value=None) -> np.ndarray:
     """Host-side slice of a globally-ordered array for
-    jax.make_array_from_process_local_data-style staging."""
-    return global_array[process_shard(len(global_array))]
+    jax.make_array_from_process_local_data-style staging.
+
+    Global-array assembly needs every process's slice to have the SAME
+    shape.  When len(global_array) is not a multiple of process_count,
+    pass ``pad_value`` to pad the short tail shards up to the uniform
+    length (callers mask the pads), or get a loud error instead of a
+    shard-shape mismatch deep inside jax."""
+    n = len(global_array)
+    pc = jax.process_count()
+    per = (n + pc - 1) // pc
+    out = global_array[process_shard(n)]
+    if len(out) == per:
+        return out
+    if pad_value is None:
+        raise ValueError(
+            f"{n} items do not shard uniformly over {pc} processes "
+            f"(shards of {per}); pad the array to a multiple or pass "
+            f"pad_value to pad the tail shards")
+    pad = np.full((per - len(out),) + out.shape[1:], pad_value,
+                  dtype=out.dtype)
+    return np.concatenate([out, pad])

@@ -124,14 +124,25 @@ def test_distributed_train_step_matches_single_device(setup):
     mesh = make_mesh([2, 2, 2], ("data", "graph", "lane"))
     kw = dict(hidden_channels=16, num_nodes=64, label_dropout=0.0,
               feature_dropout=0.0)
-    init_fn, step_fn, _ = make_distributed_train_step(mesh, params, **kw)
-    ref_init, ref_step, _ = single_device_reference_step(params, **kw)
+    init_fn, step_fn, _, build_sk = make_distributed_train_step(mesh, params,
+                                                                **kw)
+    ref_init, ref_step, _, ref_build = single_device_reference_step(params,
+                                                                    **kw)
     ei, w, mask = g.padded_edges(multiple=8)
     mh0, hll0 = initialise_sketches(64, params)
     x = jnp.asarray(np.random.default_rng(0).random((64, 16), dtype=np.float32))
     labels = jnp.asarray((np.arange(32) % 2).astype(np.float32))
-    args = (x, jnp.asarray(ei), jnp.asarray(mask), jnp.asarray(mh0),
-            jnp.asarray(hll0), jnp.asarray(links), labels)
+    # sketches are built ONCE per graph (step-constant, gradient-free)
+    sk = build_sk(jnp.asarray(ei), jnp.asarray(mask), jnp.asarray(mh0),
+                  jnp.asarray(hll0))
+    sk_1dev = ref_build(jnp.asarray(ei), jnp.asarray(mask),
+                        jnp.asarray(mh0), jnp.asarray(hll0))
+    np.testing.assert_array_equal(np.asarray(sk.minhash),
+                                  np.asarray(sk_1dev.minhash))
+    args = (x, jnp.asarray(ei), jnp.asarray(mask), sk,
+            jnp.asarray(links), labels)
+    ref_args = (x, jnp.asarray(ei), jnp.asarray(mask), sk_1dev,
+                jnp.asarray(links), labels)
     state = init_fn(jax.random.PRNGKey(0), x, jnp.asarray(ei),
                     jnp.asarray(mask), jnp.asarray(links))
     ref_state = ref_init(jax.random.PRNGKey(0), x, jnp.asarray(ei),
@@ -139,7 +150,7 @@ def test_distributed_train_step_matches_single_device(setup):
     for i in range(2):
         rng = jax.random.PRNGKey(100 + i)
         state, loss = step_fn(state, *args, rng)
-        ref_state, ref_loss = ref_step(ref_state, *args, rng)
+        ref_state, ref_loss = ref_step(ref_state, *ref_args, rng)
         np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
     # biases feeding directly into BatchNorm have mathematically ZERO
     # gradient (BN subtracts the batch mean), so Adam amplifies f32
