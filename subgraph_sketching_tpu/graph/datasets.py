@@ -165,8 +165,13 @@ def load_ogb(name: str, cfg: Config, root: str
     if name == "ogbl-ddi":
         x = np.ones((num_nodes, 1), dtype=np.float32)
     edge_index = np.asarray(data["edge_index"], dtype=np.int32)
+    # collab's multigraph weights live under the 'edge_weight' additional
+    # edge file (edge_feat is None there); check both homes — the reference
+    # reads the PyG attribute fed from the same file (data.py:176-182)
     edge_weight = None
-    if data.get("edge_feat") is not None and data["edge_feat"].shape[1] == 1:
+    if data.get("edge_weight") is not None:
+        edge_weight = np.asarray(data["edge_weight"], dtype=np.float32).ravel()
+    elif data.get("edge_feat") is not None and data["edge_feat"].shape[1] == 1:
         edge_weight = np.asarray(data["edge_feat"], dtype=np.float32).ravel()
 
     directed = name.startswith("ogbl-citation")

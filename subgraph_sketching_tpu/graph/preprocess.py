@@ -14,7 +14,7 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass
 from time import time
-from typing import Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -113,11 +113,40 @@ def _cache_name(cfg: Config, split: str, kind: str) -> Optional[str]:
         f"{cfg.dataset_name}_{split}_{neg_str}{year_str}{hop_str}{kind}.npz")
 
 
+def _chunked_node_sharded_features(links, sketches, params, mesh,
+                                   cfg: Config) -> np.ndarray:
+    """Per-link features from NODE-sharded sketch state, in fixed-size
+    chunks (one compiled shape; the tail pads with (0, 0) links)."""
+    from subgraph_sketching_tpu.parallel.node_sharded import (
+        node_sharded_subgraph_features,
+    )
+    bs = min(cfg.subgraph_feature_batch_size, 1 << 18)
+    chunks = []
+    for s in range(0, len(links), bs):
+        chunk = np.asarray(links[s:s + bs], dtype=np.int32)
+        pad = 0
+        if len(chunk) < bs and s > 0:
+            pad = bs - len(chunk)
+            chunk = np.concatenate([chunk, np.zeros((pad, 2), np.int32)])
+        res = np.asarray(node_sharded_subgraph_features(
+            jnp.asarray(chunk), sketches, params, mesh))
+        chunks.append(res[:len(res) - pad] if pad else res)
+    return np.concatenate(chunks, axis=0)[:len(links)]
+
+
 def build_link_dataset(split_data: SplitData, cfg: Config, split: str,
                        model: Optional[str] = None,
-                       directed: bool = False) -> LinkDataset:
+                       directed: bool = False,
+                       reuse_from: Optional[LinkDataset] = None
+                       ) -> LinkDataset:
     """Hydrate one split (reference HashDataset.__init__,
-    src/datasets/elph.py:27-85)."""
+    src/datasets/elph.py:27-85).
+
+    ``reuse_from``: a previously built split (usually train).  When this
+    split's message graph is byte-identical (the common case: valid shares
+    the train edges), the graph-only precomputes — SIGN features and the
+    sketch tables, the dominant preprocessing cost — are reused instead of
+    recomputed; per-link work (subgraph features, RA) still runs."""
     model = model or cfg.model
     g = split_data.graph
     if cfg.dataset_name == "ogbl-collab":
@@ -127,9 +156,18 @@ def build_link_dataset(split_data: SplitData, cfg: Config, split: str,
         # subgraph features (src/datasets/elph.py:63-66); undirected splits
         # are already symmetric
         g = g.to_undirected()
+    same_graph = (
+        reuse_from is not None
+        and reuse_from.num_nodes == g.num_nodes
+        and reuse_from.edge_index.shape == g.edge_index.shape
+        and np.array_equal(reuse_from.edge_index, g.edge_index)
+        and ((reuse_from.edge_weight is None) == (g.weights is None))
+        and (g.weights is None
+             or np.array_equal(np.asarray(reuse_from.edge_weight),
+                               np.asarray(g.weights))))
     links = split_data.links.astype(np.int32)
     labels = split_data.labels
-    degrees = g.degrees()
+    degrees = reuse_from.degrees if same_graph else g.degrees()
 
     RA = None
     if cfg.use_RA:
@@ -142,7 +180,9 @@ def build_link_dataset(split_data: SplitData, cfg: Config, split: str,
 
     # ---- BUDDY: precompute everything ----
     feat_cache = _cache_name(cfg, split, f"k{cfg.sign_k}_features")
-    if feat_cache and cfg.load_features and os.path.exists(feat_cache):
+    if same_graph:
+        x = reuse_from.x  # SIGN features depend only on the message graph
+    elif feat_cache and cfg.load_features and os.path.exists(feat_cache):
         x = np.load(feat_cache)["x"]
     else:
         x = None
@@ -156,8 +196,20 @@ def build_link_dataset(split_data: SplitData, cfg: Config, split: str,
 
     sf_cache = _cache_name(cfg, split, "subgraph_features")
     params = sketch_params_from_config(cfg)
-    sketches = None
-    if sf_cache and cfg.cache_subgraph_features and os.path.exists(sf_cache):
+    sketches = reuse_from.sketches if same_graph else None
+    if sketches is not None:
+        mesh = None
+        if cfg.mesh_shape and "graph" in (cfg.mesh_axes or []):
+            from subgraph_sketching_tpu.parallel.mesh import make_mesh
+            mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes)
+        if mesh is not None and sketches.minhash.shape[1] != g.num_nodes:
+            sf = _chunked_node_sharded_features(links, sketches, params,
+                                                mesh, cfg)
+        else:
+            sf = np.asarray(subgraph_features_batched(
+                links, sketches, params,
+                batch_size=min(cfg.subgraph_feature_batch_size, 1 << 18)))
+    elif sf_cache and cfg.cache_subgraph_features and os.path.exists(sf_cache):
         sf = np.load(sf_cache)["sf"]
         assert sf.shape[0] == len(links), (
             "cached subgraph features are inconsistent with the link object; "
@@ -199,22 +251,8 @@ def build_link_dataset(split_data: SplitData, cfg: Config, split: str,
                          hll=np.asarray(sketches.hll),
                          cards=np.asarray(sketches.cards))
         if mesh is not None and sketches.minhash.shape[1] != g.num_nodes:
-            from subgraph_sketching_tpu.parallel.node_sharded import (
-                node_sharded_subgraph_features,
-            )
-            bs = min(cfg.subgraph_feature_batch_size, 1 << 18)
-            chunks = []
-            for s in range(0, len(links), bs):
-                chunk = np.asarray(links[s:s + bs], dtype=np.int32)
-                pad = 0
-                if len(chunk) < bs and s > 0:
-                    pad = bs - len(chunk)
-                    chunk = np.concatenate(
-                        [chunk, np.zeros((pad, 2), np.int32)])
-                res = np.asarray(node_sharded_subgraph_features(
-                    jnp.asarray(chunk), sketches, params, mesh))
-                chunks.append(res[:len(res) - pad] if pad else res)
-            sf = np.concatenate(chunks, axis=0)[:len(links)]
+            sf = _chunked_node_sharded_features(links, sketches, params,
+                                                mesh, cfg)
         else:
             sf = np.asarray(subgraph_features_batched(
                 links, sketches, params,
@@ -240,28 +278,44 @@ def build_link_dataset(split_data: SplitData, cfg: Config, split: str,
 
 def build_all_splits(splits, cfg: Config, directed: bool = False):
     """train/valid/test LinkDatasets (reference
-    get_hashed_train_val_test_datasets, src/datasets/elph.py:245-265)."""
-    return {name: build_link_dataset(sd, cfg, name, directed=directed)
-            for name, sd in splits.items()}
+    get_hashed_train_val_test_datasets, src/datasets/elph.py:245-265).
+    Splits whose message graph equals the train split's reuse its SIGN
+    features and sketch tables instead of recomputing them."""
+    out: Dict[str, LinkDataset] = {}
+    for name, sd in splits.items():
+        out[name] = build_link_dataset(sd, cfg, name, directed=directed,
+                                       reuse_from=out.get("train"))
+    return out
 
 
-def make_train_eval_dataset(train_ds: LinkDataset, n_pos_samples: int = 5000,
-                            negs_per_pos: int = 1000) -> LinkDataset:
+def make_train_eval_dataset(train_ds: LinkDataset,
+                            n_pos_samples: int = 5000) -> LinkDataset:
     """Small train subset for unbiased train-metric estimates on large
     datasets (citation2) — reference make_train_eval_data,
-    src/datasets/elph.py:292-325.  Assumes same-source negatives aligned
-    with positives (asserted, like the reference)."""
+    src/datasets/elph.py:292-325.
+
+    The negatives-per-positive count is DERIVED from the dataset (the train
+    split was built with cfg.num_negs same-source negatives per positive,
+    laid out in per-positive blocks after all positives); deriving it keeps
+    the k selected positives aligned with exactly their own negative blocks
+    for any --num_negs, and alignment is asserted like the reference."""
     n_pos_total = int(train_ds.labels.sum())
+    n_neg_total = len(train_ds.links) - n_pos_total
+    if n_pos_total == 0 or n_neg_total % n_pos_total:
+        raise ValueError(
+            f"train split is not per-positive-block aligned "
+            f"({n_pos_total} positives, {n_neg_total} negatives); "
+            f"regenerate the cached negatives")
+    negs_per_pos = n_neg_total // n_pos_total
     n_pos = min(n_pos_samples, n_pos_total)
     pos = train_ds.links[:n_pos]
     pos_sf = train_ds.subgraph_features[:n_pos]
-    n_neg = min(n_pos * negs_per_pos, len(train_ds.links) - n_pos_total)
+    n_neg = n_pos * negs_per_pos
     neg = train_ds.links[n_pos_total:n_pos_total + n_neg]
     neg_sf = train_ds.subgraph_features[n_pos_total:n_pos_total + n_neg]
-    if n_neg == n_pos * negs_per_pos:
-        assert (pos[:, 0].repeat(negs_per_pos) == neg[:, 0]).all(), (
-            "negatives have different source nodes to positives; delete "
-            "cached negatives and regenerate")
+    assert (pos[:, 0].repeat(negs_per_pos) == neg[:, 0]).all(), (
+        "negatives have different source nodes to positives; delete "
+        "cached negatives and regenerate")
     RA = None
     if train_ds.RA is not None:
         RA = np.concatenate([train_ds.RA[:n_pos],

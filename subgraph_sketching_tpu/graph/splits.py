@@ -55,7 +55,7 @@ def negative_sampling(edge_index: np.ndarray, num_nodes: int,
     self-loops to the forbidden set first, which ``forbid_self_loops``
     reproduces).  Returns [num_neg_samples, 2].
     """
-    existing = set(_edge_set(edge_index, num_nodes).tolist())
+    existing = np.unique(_edge_set(edge_index, num_nodes))  # sorted
     out = np.empty((num_neg_samples, 2), dtype=np.int64)
     filled = 0
     while filled < num_neg_samples:
@@ -63,7 +63,14 @@ def negative_sampling(edge_index: np.ndarray, num_nodes: int,
         src = rng.integers(0, num_nodes, need)
         dst = rng.integers(0, num_nodes, need)
         key = src * num_nodes + dst
-        ok = np.array([k not in existing for k in key.tolist()])
+        # sorted-array membership instead of per-element python set lookups
+        # (collab-scale sampling draws millions of candidates per round)
+        if len(existing):
+            pos = np.minimum(np.searchsorted(existing, key),
+                             len(existing) - 1)
+            ok = existing[pos] != key
+        else:
+            ok = np.ones(need, bool)
         if forbid_self_loops:
             ok &= src != dst
         take = min(int(ok.sum()), num_neg_samples - filled)

@@ -29,7 +29,11 @@ from subgraph_sketching_tpu.utils import str2bool
 
 
 def set_seed(seed: int) -> np.random.Generator:
-    """Reproducibility per OGB rules (reference run.py:37-48)."""
+    """Reproducibility per OGB rules (reference run.py:37-48).  Seeds the
+    stdlib ``random`` module too — SEAL's per-hop neighbour sampling
+    (graph/seal.py k_hop_subgraph) draws from it, matching the reference."""
+    import random
+    random.seed(seed)
     np.random.seed(seed)
     return np.random.default_rng(seed)
 
@@ -71,7 +75,7 @@ def build_seal_trainer(cfg: Config, splits):
             sd.graph, sd.pos_edges, sd.neg_edges, num_hops=cfg.num_hops,
             node_label=cfg.node_label, ratio_per_hop=cfg.ratio_per_hop,
             max_nodes_per_hop=cfg.max_nodes_per_hop, max_dist=cfg.max_dist,
-            use_feature=cfg.use_feature, dynamic=True)
+            use_feature=cfg.use_feature, dynamic=dynamic)
     num_features = (None if splits["train"].graph.x is None
                     else splits["train"].graph.x.shape[-1])
     return SealTrainer(cfg, datasets, num_features)
@@ -118,9 +122,10 @@ def run(cfg: Config):
             )
             trainer = build_kge_trainer(cfg, splits)
         else:
-            datasets = {name: build_link_dataset(sd, cfg, name,
-                                                 directed=directed)
-                        for name, sd in splits.items()}
+            from subgraph_sketching_tpu.graph.preprocess import (
+                build_all_splits,
+            )
+            datasets = build_all_splits(splits, cfg, directed=directed)
             num_features = (None if datasets["train"].x is None
                             else datasets["train"].x.shape[-1])
             trainer = build_trainer(cfg, datasets, num_features)

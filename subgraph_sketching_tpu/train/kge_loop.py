@@ -135,19 +135,16 @@ class KgeTrainer:
         sd = self._splits[split]
         links = np.asarray(sd.links, dtype=np.int32)
         labels = np.asarray(sd.labels, dtype=np.float32)
-        sel = eval_subset(len(links), n_samples, self.cfg.dataset_name)
+        sel = eval_subset(len(links), n_samples, self.cfg.dataset_name,
+                          num_pos=int(labels.sum()))
         if not hasattr(self, "_score_jit"):
             self._score_jit = jax.jit(self.model.score_links)
-        bs = min(self.cfg.eval_batch_size, max(1, len(sel)))
-        preds = []
-        for s in range(0, len(sel), bs):
-            idx = sel[s:s + bs]
-            pad = bs - len(idx)
-            if pad:
-                idx = np.concatenate([idx, np.zeros(pad, np.int64)])
-            out = self._score_jit(state.params, jnp.asarray(links[idx]))
-            preds.append(out[:bs - pad] if pad else out)
-        return (np.concatenate([np.asarray(p) for p in preds]), labels[sel])
+        from subgraph_sketching_tpu.train.loops import batched_predict
+        pred = batched_predict(
+            lambda idx: self._score_jit(state.params,
+                                        jnp.asarray(links[idx])),
+            sel, self.cfg.eval_batch_size)
+        return pred, labels[sel]
 
 
 def build_kge_trainer(cfg: Config, splits) -> KgeTrainer:

@@ -96,13 +96,18 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     return optax.adam(cfg.lr)
 
 
-def eval_subset(total: int, n_samples, dataset_name: str = "") -> np.ndarray:
+def eval_subset(total: int, n_samples, dataset_name: str = "",
+                num_pos: Optional[int] = None) -> np.ndarray:
     """Indices to evaluate when subsampling a split.
 
     The reference shuffles its val/test loaders so taking the first n gives a
     random pos/neg mix (data.py:47-54); a plain prefix would be all
     positives.  citation2 keeps aligned same-source negatives and must stay
-    ordered (data.py:48-49).
+    ordered (data.py:48-49): links are [all positives] ++ [per-positive
+    negative blocks], so the subsample takes the first k positives PLUS
+    their k*negs_per_pos aligned negatives (a plain prefix would hand
+    evaluate_mrr other positives' negatives).  Pass ``num_pos`` (the split's
+    positive count) to enable that; trainers record it at staging.
 
     Deliberate behavioural difference vs the reference: the subsample uses a
     FIXED seed (12345), so every repetition and epoch evaluates the same
@@ -113,9 +118,38 @@ def eval_subset(total: int, n_samples, dataset_name: str = "") -> np.ndarray:
     if n_samples is None or n_samples >= total:
         return np.arange(total, dtype=np.int32)
     if dataset_name.startswith("ogbl-citation"):
-        return np.arange(n_samples, dtype=np.int32)
+        if not num_pos or num_pos >= total:
+            return np.arange(n_samples, dtype=np.int32)
+        npp = (total - num_pos) // num_pos      # negatives per positive
+        k = int(max(1, min(num_pos, n_samples // (npp + 1))))
+        return np.concatenate([
+            np.arange(k, dtype=np.int32),
+            (num_pos + np.arange(k * npp)).astype(np.int32)])
     rng = np.random.default_rng(12345)
     return np.sort(rng.permutation(total)[:n_samples]).astype(np.int32)
+
+
+def batched_predict(score_fn, sel: np.ndarray, batch_size: int,
+                    pad_value: int = 0) -> np.ndarray:
+    """Shared eval loop for every trainer's predict: pad the tail batch to
+    the uniform size (ONE compiled shape), dispatch every batch before
+    materialising any result (batches overlap in the device queue instead
+    of paying a host sync each), then slice the pads off.
+
+    ``score_fn(idx)`` receives an int32 [bs] index array (tail padded with
+    ``pad_value``) and returns a [bs] device array of scores."""
+    n = len(sel)
+    bs = min(batch_size, max(1, n))
+    preds = []
+    for s in range(0, n, bs):
+        idx = sel[s:min(s + bs, n)]
+        pad = bs - len(idx)
+        if pad:
+            idx = np.concatenate(
+                [idx, np.full(pad, pad_value, dtype=np.int32)])
+        out = score_fn(np.asarray(idx, dtype=np.int32))
+        preds.append(out[:bs - pad] if pad else out)
+    return np.concatenate([np.asarray(p) for p in preds])
 
 
 def _epoch_plan(num_links: int, batch_size: int,
@@ -312,6 +346,9 @@ class BuddyTrainer:
             d["x"] = jnp.asarray(ds.x)
         d = {k: self._replicate(v) for k, v in d.items()}
         self._data[split] = d
+        # positive count, for pos/neg-aligned eval subsampling (citation2)
+        self._num_pos = getattr(self, "_num_pos", {})
+        self._num_pos[split] = int(np.asarray(ds.labels).sum())
 
     def _batch(self, data, idx):
         """Gather one batch by link indices (idx may contain -1 padding)."""
@@ -460,20 +497,12 @@ class BuddyTrainer:
             self._pred_jit = self._predict_fn()
         data = self._data[split]
         total = int(data["links"].shape[0])
-        sel = eval_subset(total, n_samples, self.cfg.dataset_name)
-        n = len(sel)
-        bs = min(self.cfg.eval_batch_size, max(1, n))
-        preds = []
-        # dispatch every batch before materialising any result: batches
-        # overlap in the device queue instead of paying a host sync each
-        for s in range(0, n, bs):
-            idx = sel[s:min(s + bs, n)]
-            pad = bs - len(idx)
-            if pad:
-                idx = np.concatenate([idx, np.full(pad, -1, np.int32)])
-            out = self._pred_jit(state, data, jnp.asarray(idx))
-            preds.append(out[:bs - pad] if pad else out)
-        pred = np.concatenate([np.asarray(p) for p in preds])
+        sel = eval_subset(total, n_samples, self.cfg.dataset_name,
+                          getattr(self, "_num_pos", {}).get(split))
+        # pad with -1: _batch masks negative indices out
+        pred = batched_predict(
+            lambda idx: self._pred_jit(state, data, jnp.asarray(idx)),
+            sel, self.cfg.eval_batch_size, pad_value=-1)
         labels = np.asarray(data["rows"][:, self._sf_dim])[sel]
         return pred, labels
 
@@ -687,6 +716,9 @@ class ElphTrainer:
                     d["emb_spmm_tables"] = tuple(
                         _replicate_on(self.mesh, t) for t in plan.tables)
         self._data[split] = d
+        # positive count, for pos/neg-aligned eval subsampling (citation2)
+        self._num_pos = getattr(self, "_num_pos", {})
+        self._num_pos[split] = int(np.asarray(ds.labels).sum())
 
     def _node_feats(self, params, batch_stats, data, training,
                     dropout_rng=None, plan=None):
@@ -866,9 +898,8 @@ class ElphTrainer:
         arrays = {k: v for k, v in data.items() if k != "num_nodes"}
         feats = fj(state.params["gnn"], state.batch_stats["gnn"], arrays)
         total = int(data["links"].shape[0])
-        sel = eval_subset(total, n_samples, self.cfg.dataset_name)
-        n = len(sel)
-        bs = min(self.cfg.eval_batch_size, max(1, n))
+        sel = eval_subset(total, n_samples, self.cfg.dataset_name,
+                          getattr(self, "_num_pos", {}).get(split))
 
         emb_table = None
         if self.use_embedding:
@@ -892,20 +923,12 @@ class ElphTrainer:
                                             training=False).ravel()
             self._score_jit = jax.jit(_score)
 
-        def score(links_b, sf_b):
+        def score(idx):
+            j = jnp.asarray(idx)
             return self._score_jit(state.params, state.batch_stats, feats,
-                                   emb_table, links_b, sf_b)
+                                   emb_table, data["links"][j],
+                                   data["sf"][j])
 
-        preds = []
-        # dispatch all batches, then materialise (no per-batch host sync)
-        for s in range(0, n, bs):
-            idx = sel[s:min(s + bs, n)]
-            pad = bs - len(idx)
-            if pad:
-                idx = np.concatenate([idx, np.zeros(pad, np.int32)])
-            out = score(data["links"][jnp.asarray(idx)],
-                        data["sf"][jnp.asarray(idx)])
-            preds.append(out[:bs - pad] if pad else out)
-        pred = np.concatenate([np.asarray(p) for p in preds])
+        pred = batched_predict(score, sel, self.cfg.eval_batch_size)
         labels = np.asarray(data["labels"])[sel]
         return pred, labels

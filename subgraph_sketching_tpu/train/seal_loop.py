@@ -157,11 +157,12 @@ class SealTrainer:
 
     def predict(self, state: TrainState, split: str,
                 n_samples: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
-        from subgraph_sketching_tpu.train.loops import eval_subset
+        from subgraph_sketching_tpu.train.loops import (
+            batched_predict, eval_subset,
+        )
         ds = self.datasets[split]
-        sel = eval_subset(len(ds), n_samples, self.cfg.dataset_name)
-        n = len(sel)
-        bs = self.cfg.batch_size
+        sel = eval_subset(len(ds), n_samples, self.cfg.dataset_name,
+                          num_pos=int(np.asarray(ds.labels).sum()))
 
         if not hasattr(self, "_fwd_jit"):
             def _fwd(params, batch_stats, batch):
@@ -170,21 +171,11 @@ class SealTrainer:
                                         training=False).ravel()
             self._fwd_jit = jax.jit(_fwd)
 
-        def fwd(batch):
+        def score(idx):
+            # ds.batch() extraction stays host-side, overlapping device work
+            batch, _ = self._to_device(ds.batch(idx))
             return self._fwd_jit(state.params, state.batch_stats, batch)
 
-        preds = []
-        # dispatch all batches, then materialise (no per-batch host sync);
-        # ds.batch() extraction stays host-side and overlaps device compute
-        for s in range(0, n, bs):
-            idx = sel[s:min(s + bs, n)]
-            pad = bs - len(idx)
-            if pad:
-                idx = np.concatenate([idx, np.zeros(pad, np.int64)])
-            raw = ds.batch(idx)
-            batch, _ = self._to_device(raw)
-            out = fwd(batch)
-            preds.append(out[:bs - pad] if pad else out)
-        pred = np.concatenate([np.asarray(p) for p in preds])[:n]
+        pred = batched_predict(score, sel, self.cfg.batch_size)
         labels = ds.labels[sel]
         return pred, labels

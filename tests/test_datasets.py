@@ -94,9 +94,14 @@ class _FakeOgbDataset:
         n = 60
         ei = np.stack([np.arange(n), (np.arange(n) + 1) % n])
         ei = np.concatenate([ei, ei[::-1]], axis=1).astype(np.int64)
+        # like real ogbl-collab: weights ride the 'edge_weight' additional
+        # edge file and edge_feat is None (regression: the loader once read
+        # only edge_feat, silently dropping collab's weights)
         self._graph = {"num_nodes": n, "edge_index": ei,
                        "node_feat": rng.random((n, 4)).astype(np.float32),
-                       "edge_feat": np.ones((ei.shape[1], 1), np.float32)}
+                       "edge_feat": None,
+                       "edge_weight": np.full((ei.shape[1], 1), 2.0,
+                                              np.float32)}
         E = 30
         pos = np.stack([rng.integers(0, n, E), rng.integers(0, n, E)], axis=1)
         if "citation" in name:
@@ -147,6 +152,16 @@ def test_ogb_collab_path(fake_ogb, tmp_path):
     assert (splits["test"].graph.edge_index.shape[1]
             > splits["valid"].graph.edge_index.shape[1])
     assert len(splits["train"].neg_edges) == len(splits["train"].pos_edges)
+
+
+def test_ogb_collab_edge_weights_not_dropped(fake_ogb, tmp_path):
+    """Without --year the message graph must carry collab's multigraph
+    weights from the 'edge_weight' file (the year branch reads them from
+    split_edge instead, which masked this)."""
+    cfg = Config(dataset_name="ogbl-collab", data_root=str(tmp_path))
+    splits, _, _ = get_data(cfg)
+    w = splits["train"].graph.edge_weight
+    assert w is not None and float(np.max(w)) == 2.0
 
 
 def test_ogb_citation2_path(fake_ogb, tmp_path):
@@ -222,8 +237,10 @@ def test_make_train_eval_dataset_subsets():
                      degrees=np.zeros(n_nodes, np.float32),
                      subgraph_features=sf, RA=ra, sketches=None)
 
-    sub = make_train_eval_dataset(ds, n_pos_samples=5,
-                                  negs_per_pos=negs_per_pos)
+    # negs_per_pos is DERIVED from the dataset layout (regression: passing
+    # a wrong count used to silently misalign positives with other
+    # positives' negative blocks)
+    sub = make_train_eval_dataset(ds, n_pos_samples=5)
     assert int(sub.labels.sum()) == 5
     assert len(sub.links) == 5 + 5 * negs_per_pos
     np.testing.assert_array_equal(sub.links[:5], pos[:5])
@@ -235,3 +252,27 @@ def test_make_train_eval_dataset_subsets():
     np.testing.assert_array_equal(sub.RA[:5], ra[:5])
     np.testing.assert_array_equal(
         sub.subgraph_features[5:], sf[n_pos_total:n_pos_total + 15])
+
+
+def test_build_all_splits_reuses_shared_graph_precomputes():
+    """valid shares the train message graph, so its SIGN features and
+    sketch tables must be REUSED (identity), while test on a different
+    graph (or any non-matching split) computes its own; per-link features
+    still differ per split."""
+    from subgraph_sketching_tpu.graph.preprocess import build_all_splits
+
+    cfg = Config(dataset_name="synth-ba", model="BUDDY", sign_k=1)
+    splits, directed, _ = get_data(cfg)
+    ds = build_all_splits(splits, cfg, directed=directed)
+    assert ds["valid"].x is ds["train"].x
+    assert ds["valid"].sketches is ds["train"].sketches
+    assert ds["valid"].degrees is ds["train"].degrees
+    # per-link outputs are still split-specific
+    assert ds["valid"].subgraph_features.shape[0] == len(ds["valid"].links)
+    # and equal to a from-scratch build of the same split
+    from subgraph_sketching_tpu.graph.preprocess import build_link_dataset
+    fresh = build_link_dataset(splits["valid"], cfg, "valid",
+                               directed=directed)
+    np.testing.assert_allclose(ds["valid"].subgraph_features,
+                               fresh.subgraph_features, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(ds["valid"].x, fresh.x, rtol=1e-6, atol=1e-6)

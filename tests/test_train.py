@@ -65,6 +65,14 @@ def test_eval_subset_semantics():
     # citation2 keeps the ordered prefix (aligned same-source negatives)
     cit = eval_subset(100, 30, "ogbl-citation2")
     np.testing.assert_array_equal(cit, np.arange(30))
+    # with num_pos known, the subsample is pos/neg-ALIGNED: k positives +
+    # those k positives' negative blocks (regression: a plain prefix of the
+    # pos-then-neg layout handed evaluate_mrr other positives' negatives)
+    cit = eval_subset(total=120, n_samples=30, dataset_name="ogbl-citation2",
+                      num_pos=20)           # 5 negs per positive
+    k = 30 // 6
+    np.testing.assert_array_equal(
+        cit, np.concatenate([np.arange(k), 20 + np.arange(k * 5)]))
 
 
 def test_checkpoint_roundtrip():
