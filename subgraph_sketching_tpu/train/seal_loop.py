@@ -76,10 +76,15 @@ class SealTrainer:
         self.loss_fn = get_loss(cfg.loss)
 
     def _to_device(self, raw):
+        # the reference passes edge weights to SEAL models only under
+        # --use_edge_weight (train.py:127, inference.py:73); default is
+        # unweighted message passing even on weighted graphs (collab)
+        w = (raw.edge_weight if self.cfg.use_edge_weight
+             else raw.edge_mask.astype(np.float32))
         batch = {"z": jnp.asarray(raw.z),
                  "node_mask": jnp.asarray(raw.node_mask),
                  "edge_index": jnp.asarray(raw.edge_index),
-                 "edge_weight": jnp.asarray(raw.edge_weight),
+                 "edge_weight": jnp.asarray(w),
                  "edge_mask": jnp.asarray(raw.edge_mask)}
         if raw.x is not None:
             batch["x"] = jnp.asarray(raw.x)

@@ -181,3 +181,30 @@ def test_native_extraction_matches_python():
             assert bn.edge_mask[i].sum() == bp.edge_mask[i].sum()
         np.testing.assert_allclose(bn.y, bp.y)
         np.testing.assert_allclose(bn.src_degree, bp.src_degree)
+
+
+def test_seal_edge_weight_gated_by_flag():
+    """The reference passes edge weights to SEAL models only under
+    --use_edge_weight (train.py:127, inference.py:73); default must be
+    unweighted message passing even on weighted graphs (collab)."""
+    from subgraph_sketching_tpu.config import Config
+    from subgraph_sketching_tpu.train.seal_loop import SealTrainer
+
+    n = 30
+    ring = np.stack([np.arange(n), (np.arange(n) + 1) % n])
+    ei = np.concatenate([ring, ring[::-1]], axis=1).astype(np.int32)
+    g = Graph(ei, n, edge_weight=np.full(ei.shape[1], 2.0, np.float32),
+              x=np.ones((n, 4), np.float32))
+    pos = np.stack([np.arange(8), (np.arange(8) + 2) % n], axis=1)
+    neg = np.stack([np.arange(8), (np.arange(8) + 5) % n], axis=1)
+    ds = SEALDataset(g, pos, neg, num_hops=1, dynamic=True)
+    for use_w, expect in ((False, 1.0), (True, 2.0)):
+        cfg = Config(dataset_name="synth-ba", model="SEALGCN",
+                     hidden_channels=8, batch_size=4,
+                     use_edge_weight=use_w)
+        tr = SealTrainer(cfg, {"train": ds}, 4)
+        batch, _ = tr._to_device(ds.batch(np.arange(4)))
+        w = np.asarray(batch["edge_weight"])
+        m = np.asarray(batch["edge_mask"])
+        assert float(w[m.astype(bool)].max()) == expect
+        assert float(w[~m.astype(bool)].sum()) == 0.0
