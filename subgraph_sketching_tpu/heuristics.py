@@ -62,7 +62,11 @@ def personalized_pagerank(A: ssp.csr_matrix, links: np.ndarray,
     """PPR scores via power iteration, one solve per unique source
     (reference src/heuristics.py:74-113 used the fast_pagerank package).
 
-    Returns (scores, links_sorted_by_src) like the reference.
+    Returns (scores, links): ``scores[i]`` belongs to input ``links[i]``.
+    Unlike the reference (which returns src-sorted links and scores), the
+    scores are scattered back to INPUT order — per-positive negative
+    alignment (citation2 MRR) survives, and permutation-invariant metrics
+    (hits/AUC) are unaffected.
     """
     n = A.shape[0]
     deg = np.asarray(A.sum(axis=1)).ravel()
@@ -89,7 +93,9 @@ def personalized_pagerank(A: ssp.csr_matrix, links: np.ndarray,
             v = v_new
         scores[i:j] = v[links_sorted[i:j, 1]]
         i = j
-    return scores, links_sorted
+    out = np.empty_like(scores)
+    out[order] = scores
+    return out, links
 
 
 # ----------------------------------------------------------------- device --
@@ -168,8 +174,10 @@ class DeviceHeuristics:
             for s in range(0, len(sel), B):
                 idx = sel[s:s + B]
                 pad = B - len(idx)
-                safe = np.concatenate([idx, np.zeros(pad, np.int64)]) if pad \
-                    else idx
+                # pad with a link from THIS bucket: a global index-0 pad may
+                # have higher degree than D and overflow _padded's rows
+                safe = np.concatenate([idx, np.full(pad, sel[0], np.int64)]) \
+                    if pad else idx
                 nu, wu = self._padded(links[safe, 0], D)
                 nv, wv = self._padded(links[safe, 1], D)
                 fu = f[np.minimum(nu, self.n - 1)] * (nu < self.n)

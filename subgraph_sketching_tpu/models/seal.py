@@ -94,7 +94,10 @@ class SEALMLP(nn.Module):
 
     @nn.compact
     def __call__(self, batch, *, training: bool = False):
-        x = jax.nn.one_hot(batch["z"], self.emb_dim)
+        # clamp like _SealBase.embed_inputs: out-of-range DRNL labels would
+        # one-hot to all-zero rows (silent signal loss) instead of clamping
+        z = jnp.minimum(batch["z"], self.emb_dim - 1)
+        x = jax.nn.one_hot(z, self.emb_dim)
         x = x * batch["node_mask"][..., None]
         x = (global_add_pool(x, batch["node_mask"]) if self.pooling == "add"
              else global_mean_pool(x, batch["node_mask"]))
@@ -210,8 +213,12 @@ class SEALGIN(_SealBase):
                                  dtype=self.dtype)(h))
             h = nn.relu(nn.Dense(self.hidden_channels, name=f"gin_b_{li}",
                                  dtype=self.dtype)(h))
+            # BN statistics over REAL nodes only: dense padding would fill
+            # the flattened [B*N] batch with identical bias-constant rows
+            # and skew mean/var (PyG batching has no padded nodes)
+            m = (batch["node_mask"].reshape(-1) > 0)[:, None]
             h = batch_norm(training, name=f"gin_bn_{li}", dtype=self.dtype)(
-                h.reshape(-1, h.shape[-1])).reshape(h.shape)
+                h.reshape(-1, h.shape[-1]), mask=m).reshape(h.shape)
             x = h * batch["node_mask"][..., None]
             xs.append(x)
         h = jnp.concatenate(xs, axis=-1) if self.jk else xs[-1]

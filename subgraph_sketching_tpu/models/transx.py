@@ -123,7 +123,11 @@ class KGEModel:
                         negative_adversarial_sampling: bool = False,
                         adversarial_temperature: float = 1.0,
                         regularization: float = 0.0):
-        """Self-adversarial negative sampling step (transx.py:241-298)."""
+        """Self-adversarial negative sampling step (transx.py:241-298).
+        ``criterion`` (ctor arg) selects the loss like the reference's
+        set_criterion (transx.py:77-82): 'nll' = the (optionally
+        self-adversarial) log-sigmoid NLL; 'mrl' = margin ranking with
+        margin gamma over the mean negative score."""
 
         def loss_fn(params, pos, negs, mode):
             # pos: [B, 3] (h, r, t); negs: [B, K] corrupted entities
@@ -131,16 +135,24 @@ class KGEModel:
                 params, negs if mode == "head-batch" else pos[:, 0],
                 pos[:, 1],
                 pos[:, 2] if mode == "head-batch" else negs, mode)
-            if negative_adversarial_sampling:
-                w = jax.lax.stop_gradient(
-                    jax.nn.softmax(neg_score * adversarial_temperature, axis=1))
-                neg_term = (w * jax.nn.log_sigmoid(-neg_score)).sum(axis=1)
-            else:
-                neg_term = jax.nn.log_sigmoid(-neg_score).mean(axis=1)
             pos_score = self.score_triples(
                 params, pos[:, 0], pos[:, 1], pos[:, 2]).squeeze(-1)
-            loss = -(jax.nn.log_sigmoid(pos_score).mean()
-                     + neg_term.mean()) / 2
+            if self.criterion == "mrl":
+                # MarginRankingLoss(margin=gamma, y=1 for "pos above neg"):
+                # max(0, gamma - (pos - neg)) on the higher-is-better scores
+                loss = jnp.maximum(
+                    0.0, self.gamma - (pos_score[:, None] - neg_score)
+                ).mean()
+            else:
+                if negative_adversarial_sampling:
+                    w = jax.lax.stop_gradient(
+                        jax.nn.softmax(neg_score * adversarial_temperature,
+                                       axis=1))
+                    neg_term = (w * jax.nn.log_sigmoid(-neg_score)).sum(axis=1)
+                else:
+                    neg_term = jax.nn.log_sigmoid(-neg_score).mean(axis=1)
+                loss = -(jax.nn.log_sigmoid(pos_score).mean()
+                         + neg_term.mean()) / 2
             if regularization:
                 # L3 regularisation for complEx/distMult (transx.py:276-282)
                 loss = loss + regularization * (

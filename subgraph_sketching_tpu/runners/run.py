@@ -189,7 +189,10 @@ def run(cfg: Config):
                                 f"rep{rep}_Test{key}": 100 * test_res,
                                 f"rep{rep}_best_epoch": best_epoch,
                                 f"rep{rep}_epoch_time": time.time() - t0},
-                               step=epoch)
+                               # globally monotonic across reps: wandb drops
+                               # rows whose step goes backwards, which would
+                               # silently lose every rep>=1 series
+                               step=rep * cfg.epochs + epoch)
                     print(key)
                     print(f"Epoch: {epoch:02d}, Best epoch: {best_epoch}, "
                           f"Loss: {loss:.4f}, Train: {100 * train_res:.2f}%, "

@@ -54,3 +54,32 @@ def test_evaluate_auc_returns_triple_with_train():
     three = evaluate_auc(p, y, p, y, p, y)["AUC"]
     assert len(two) == 2 and len(three) == 3
     assert three[0] == three[1] == three[2]
+
+
+def test_kge_mrl_criterion_trains():
+    """criterion='mrl' wires the margin-ranking loss (reference
+    set_criterion, transx.py:77-82) — loss decreases and differs from nll."""
+    import jax
+    import numpy as np
+    import optax
+    from subgraph_sketching_tpu.models.transx import KGEModel
+
+    rng = np.random.default_rng(0)
+    pos = np.stack([rng.integers(0, 20, 32), np.zeros(32, np.int64),
+                    rng.integers(0, 20, 32)], axis=1)
+    negs = rng.integers(0, 20, (32, 4))
+    losses = {}
+    for crit in ("nll", "mrl"):
+        m = KGEModel("transE", 20, 1, 8, gamma=2.0, criterion=crit)
+        params = m.init_params(jax.random.PRNGKey(0))
+        opt = optax.adam(1e-2)
+        step = m.make_train_step(opt)
+        st = opt.init(params)
+        first = last = None
+        for i in range(5):
+            params, st, loss = step(params, st, pos, negs, False)
+            first = first if first is not None else float(loss)
+            last = float(loss)
+        assert last < first
+        losses[crit] = (first, last)
+    assert losses["nll"][0] != losses["mrl"][0]

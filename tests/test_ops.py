@@ -290,3 +290,48 @@ def test_reduce_sketches_non_pow2_sub_len():
         got_mh, got_hll = plan.reduce_sketches(mh, hll)
         np.testing.assert_array_equal(got_mh, plan.reduce(mh, "min"))
         np.testing.assert_array_equal(got_hll, plan.reduce(hll, "max"))
+
+
+def test_device_heuristics_bucket_pad_uses_own_bucket():
+    """Regression: partial chunks padded with GLOBAL link 0 — if that link's
+    endpoint has higher degree than the bucket width, the padded neighbour
+    write overflows and the whole scoring run crashes."""
+    import scipy.sparse as ssp
+    from subgraph_sketching_tpu.heuristics import (
+        DeviceHeuristics, common_neighbours,
+    )
+
+    n = 140
+    # hub node 0 with degree ~100 (wide bucket); a ring of degree-2 nodes
+    hub_dst = np.arange(1, 101)
+    ring = np.stack([np.arange(101, n), np.roll(np.arange(101, n), -1)])
+    src = np.concatenate([np.zeros(100, np.int64), ring[0]])
+    dst = np.concatenate([hub_dst, ring[1]])
+    src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
+    A = ssp.csr_matrix((np.ones(len(src)), (src, dst)), shape=(n, n))
+    # link 0 touches the hub (wide bucket); the rest are narrow-bucket links
+    links = np.concatenate([
+        np.array([[0, 5]]),
+        np.stack([np.arange(101, 131), np.arange(102, 132)], axis=1),
+    ]).astype(np.int32)
+    dh = DeviceHeuristics(A, chunk_elems=8 * 32 * 32)  # forces partial chunks
+    got = dh.scores(links, "CN")
+    want = common_neighbours(A, links)
+    np.testing.assert_allclose(got, np.asarray(want).ravel(), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_ppr_scores_in_input_order():
+    """Regression: PPR scores were returned src-sorted while callers kept
+    input order (breaking citation2 per-positive negative alignment)."""
+    from subgraph_sketching_tpu.heuristics import personalized_pagerank
+
+    ei = np.asarray(barabasi_albert_graph(40, 3, seed=2))
+    import scipy.sparse as ssp
+    A = ssp.csr_matrix((np.ones(ei.shape[1]), (ei[0], ei[1])), shape=(40, 40))
+    links = np.array([[7, 3], [2, 9], [7, 5], [1, 4]], np.int32)  # unsorted
+    s, out_links = personalized_pagerank(A, links)
+    np.testing.assert_array_equal(out_links, links)
+    for i, (u, v) in enumerate(links):
+        s1, _ = personalized_pagerank(A, np.array([[u, v]], np.int32))
+        np.testing.assert_allclose(s[i], s1[0], rtol=1e-6)
