@@ -35,7 +35,10 @@ int plan_build_version() { return 3; }
 int64_t plan_phase1(const int32_t* dst, int64_t num_edges, int32_t num_nodes,
                     int32_t sub_len, int64_t* run_starts,
                     int64_t* sub_starts) {
-    if (sub_len <= 0 || num_nodes < 0) return -1;
+    // edge ids are written as int32 downstream (order/slot_edge tables);
+    // past 2^31-1 edges they would wrap negative -> fall back (-1) to the
+    // numpy path, which keeps int64 order arrays
+    if (sub_len <= 0 || num_nodes < 0 || num_edges > INT32_MAX) return -1;
     std::memset(run_starts, 0, sizeof(int64_t) * (num_nodes + 1));
     for (int64_t e = 0; e < num_edges; ++e) {
         int32_t d = dst[e];

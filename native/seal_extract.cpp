@@ -11,6 +11,7 @@
 // Build: tools/build_native.py (g++ -O3 -fopenmp -shared -fPIC).
 // Bindings: ctypes (no pybind11 in this image).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <queue>
@@ -94,6 +95,9 @@ int seal_extract_batch(
     uint64_t seed,
     int32_t* out_nodes, int32_t* out_z, int32_t* out_src, int32_t* out_dst,
     float* out_w, int32_t* out_counts) {
+  // the two center nodes are visited unconditionally; a smaller cap would
+  // write past the per-link output rows (heap corruption)
+  if (max_nodes < 2 || max_edges < 1) return 1;
 #ifdef _OPENMP
 #pragma omp parallel
 #endif
@@ -119,7 +123,11 @@ int seal_extract_batch(
       };
       visit(s);
       dists.push_back(0);
-      if (t != s) {
+      // degenerate self-links (negative samples can draw (v, v)) have ONE
+      // center node; target-edge removal and src/dst masking must not
+      // treat local node 1 (an arbitrary neighbour) as the dst endpoint
+      const bool two_centers = (t != s);
+      if (two_centers) {
         visit(t);
         dists.push_back(0);
       }
@@ -139,20 +147,27 @@ int seal_extract_batch(
           }
         }
         // subsample the fringe (ratio_per_hop / max_nodes_per_hop,
-        // reference seal.py:326-330) — Fisher-Yates prefix
+        // reference seal.py:326-330) — Fisher-Yates prefix.  Dropped
+        // candidates STAY stamped: the python path adds the whole fringe
+        // to `visited` before sampling (graph/seal.py:44-45), so dropped
+        // nodes can never re-enter at a later hop.
         size_t keep = next_fringe.size();
         if (ratio_per_hop < 1.0)
           keep = (size_t)(ratio_per_hop * (double)keep);
         if (max_nodes_per_hop >= 0 && (size_t)max_nodes_per_hop < keep)
           keep = (size_t)max_nodes_per_hop;
-        for (size_t i = 0; i < keep; ++i) {
-          size_t j = i + (size_t)rng.below(next_fringe.size() - i);
-          std::swap(next_fringe[i], next_fringe[j]);
+        if (keep < next_fringe.size()) {
+          for (size_t i = 0; i < keep; ++i) {
+            size_t j = i + (size_t)rng.below(next_fringe.size() - i);
+            std::swap(next_fringe[i], next_fringe[j]);
+          }
+          next_fringe.resize(keep);
+        } else {
+          // no subsampling: sorted order like the python path's
+          // `nodes + sorted(fringe)` (also makes max_nodes truncation
+          // deterministic instead of discovery-order dependent)
+          std::sort(next_fringe.begin(), next_fringe.end());
         }
-        // un-stamp dropped candidates so other hops may re-reach them
-        for (size_t i = keep; i < next_fringe.size(); ++i)
-          stamp[next_fringe[i]] = -1;
-        next_fringe.resize(keep);
         if (next_fringe.empty()) break;
         for (int32_t v : next_fringe) {
           if ((int32_t)nodes.size() >= max_nodes) break;
@@ -165,16 +180,21 @@ int seal_extract_batch(
 
       const int32_t n_sub = (int32_t)nodes.size();
       // local adjacency + padded edge output; target edge 0<->1 removed
-      // (reference seal.py:338-341)
+      // (reference seal.py:338-341).  The adjacency is built FULLY even
+      // past the max_edges output cap: labels (BFS distances, degrees) must
+      // see the whole subgraph like the python path, which labels before
+      // truncating the edge output.
       std::vector<std::vector<int32_t>> adj(n_sub);
+      std::vector<float> wdeg(n_sub, 0.0f);
       int32_t n_edges = 0;
-      for (int32_t ul = 0; ul < n_sub && n_edges < max_edges; ++ul) {
+      for (int32_t ul = 0; ul < n_sub; ++ul) {
         int32_t u = nodes[ul];
         for (int32_t e = indptr[u]; e < indptr[u + 1]; ++e) {
           int32_t v = indices[e];
           if (stamp[v] != li || local_id[v] == kUnvisited) continue;
           int32_t vl = local_id[v];
-          bool is_target = (ul == 0 && vl == 1) || (ul == 1 && vl == 0);
+          bool is_target = two_centers &&
+              ((ul == 0 && vl == 1) || (ul == 1 && vl == 0));
           if (is_target) continue;
           if (n_edges < max_edges) {
             out_src[(int64_t)li * max_edges + n_edges] = ul;
@@ -184,35 +204,40 @@ int seal_extract_batch(
             ++n_edges;
           }
           adj[ul].push_back(vl);
+          wdeg[ul] += weights ? weights[e] : 1.0f;
         }
       }
 
       // labels
       const int32_t z_dim = node_label >= 5 ? 2 : 1;
       int32_t* z_row = out_z + (int64_t)li * max_nodes * z_dim;
+      const bool masked_pair = two_centers && n_sub > 1;
       if (node_label == 0) {  // drnl with src/dst masking
         std::vector<int32_t> d2s(n_sub), d2t(n_sub);
-        masked_bfs(adj, 0, n_sub > 1 ? 1 : 0, &d2s);
-        if (n_sub > 1) {
+        masked_bfs(adj, 0, masked_pair ? 1 : -1, &d2s);
+        if (masked_pair) {
           masked_bfs(adj, 1, 0, &d2t);
           d2s[1] = 0;  // reference inserts dist 0 at the masked position
           d2t[0] = 0;
+        } else {
+          d2t = d2s;
         }
         for (int32_t i = 0; i < n_sub; ++i) {
           int32_t ds = d2s[i] > max_dist ? max_dist : d2s[i];
           int32_t dt = d2t[i] > max_dist ? max_dist : d2t[i];
-          int64_t z = drnl_label(i == 1 ? 0 : ds, i == 0 ? 0 : dt);
+          int64_t z = drnl_label(i == 1 && masked_pair ? 0 : ds,
+                                 i == 0 ? 0 : dt);
           z_row[i] = (int32_t)z;
         }
         if (n_sub > 0) z_row[0] = 1;
-        if (n_sub > 1) z_row[1] = 1;
+        if (masked_pair) z_row[1] = 1;
       } else if (node_label == 5 || node_label == 6) {  // de / de+
         std::vector<int32_t> d2s(n_sub), d2t(n_sub);
         const bool plus = node_label == 6;
         // de: plain distances on the (target-edge-removed) subgraph;
         // de+: src/dst-masked distances with 1 at the masked positions
-        masked_bfs(adj, 0, plus && n_sub > 1 ? 1 : -1, &d2s);
-        if (n_sub > 1) {
+        masked_bfs(adj, 0, plus && masked_pair ? 1 : -1, &d2s);
+        if (masked_pair) {
           masked_bfs(adj, 1, plus ? 0 : -1, &d2t);
           if (plus) {
             d2s[1] = 1;  // reference labelling_tricks.py:123,128
@@ -234,8 +259,10 @@ int seal_extract_batch(
       } else if (node_label == 2) {  // zero-one
         for (int32_t i = 0; i < n_sub; ++i) z_row[i] = dists[i] == 0 ? 1 : 0;
       } else if (node_label == 3) {  // degree, capped at 100
+        // weight SUM like the python path (seal.py label_nodes: z =
+        // adj.sum(axis=0)), not edge count — they differ on weighted graphs
         for (int32_t i = 0; i < n_sub; ++i) {
-          int32_t deg = (int32_t)adj[i].size();
+          int32_t deg = (int32_t)wdeg[i];
           z_row[i] = deg > 100 ? 100 : deg;
         }
       }  // 4: zeros (pre-zeroed)
@@ -251,6 +278,6 @@ int seal_extract_batch(
   return 0;
 }
 
-int seal_extract_version() { return 2; }
+int seal_extract_version() { return 3; }
 
 }  // extern "C"

@@ -74,6 +74,15 @@ def seal_extract_batch_native(
     """
     lib = _load()
     assert lib is not None
+    if max_nodes < 2 or max_edges < 1:
+        raise ValueError(f"max_nodes >= 2 and max_edges >= 1 required "
+                         f"(got {max_nodes}, {max_edges}): the two center "
+                         f"nodes are always extracted")
+    if int(np.asarray(indptr)[-1]) > np.iinfo(np.int32).max:
+        # a silent int32 cast would wrap CSR offsets negative
+        raise OverflowError(
+            "graph has >= 2^31 nonzeros — beyond the native extractor's "
+            "int32 CSR; use the python path")
     B = len(links)
     links_c = np.ascontiguousarray(links, dtype=np.int32)
     indptr = np.ascontiguousarray(indptr, dtype=np.int32)
@@ -99,5 +108,6 @@ def seal_extract_batch_native(
         ctypes.c_uint64(seed),
         _ptr(out_nodes, i32), _ptr(out_z, i32), _ptr(out_src, i32),
         _ptr(out_dst, i32), _ptr(out_w, f32), _ptr(out_counts, i32))
-    assert rc == 0
+    if rc != 0:
+        raise RuntimeError(f"seal_extract_batch failed (rc={rc})")
     return out_nodes, out_z, out_src, out_dst, out_w, out_counts

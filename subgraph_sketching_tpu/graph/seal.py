@@ -165,11 +165,19 @@ class SEALDataset:
         )
         B, N, E = len(indices), self.max_nodes, self.max_edges
         links = self.links[np.asarray(indices)]
+        seed = 0
+        if self.ratio_per_hop < 1.0 or self.max_nodes_per_hop is not None:
+            # fresh per-extraction seed from the (set_seed-seeded) stdlib
+            # stream: the reference resamples fringes via global random
+            # state on every extraction; a fixed seed would freeze the
+            # subsample per link forever
+            import random
+            seed = random.getrandbits(63)
         nodes, z, src, dst, w, counts = seal_extract_batch_native(
             self.A.indptr, self.A.indices,
             np.asarray(self.A.data, dtype=np.float32), self.A.shape[0],
             links, self.num_hops, N, E, self.max_dist, self.node_label,
-            self.ratio_per_hop, self.max_nodes_per_hop)
+            self.ratio_per_hop, self.max_nodes_per_hop, seed=seed)
         n_arange = np.arange(N)
         e_arange = np.arange(E)
         node_mask = n_arange[None, :] < counts[:, :1]

@@ -208,3 +208,61 @@ def test_seal_edge_weight_gated_by_flag():
         m = np.asarray(batch["edge_mask"])
         assert float(w[m.astype(bool)].max()) == expect
         assert float(w[~m.astype(bool)].sum()) == 0.0
+
+
+def test_native_labels_ignore_edge_output_cap():
+    """Regression: labels (BFS distances / degrees) were computed on an
+    adjacency truncated at max_edges; the python path labels the FULL
+    subgraph before truncating the edge output, so dense subgraphs got
+    different z labels per path."""
+    from subgraph_sketching_tpu.graph.native import have_native
+    if not have_native():
+        pytest.skip("native toolchain unavailable")
+    n = 24
+    # complete graph: every 1-hop subgraph is dense, far beyond max_edges
+    a, b = np.meshgrid(np.arange(n), np.arange(n))
+    ei = np.stack([a.ravel(), b.ravel()])
+    ei = ei[:, ei[0] != ei[1]].astype(np.int32)
+    g = Graph(ei, n)
+    pos = np.stack([np.arange(6), (np.arange(6) + 3) % n], axis=1)
+    for label in ("drnl", "degree", "de"):
+        ds = SEALDataset(g, pos, pos[::-1].copy(), num_hops=1,
+                         node_label=label, max_nodes=n, max_edges=16,
+                         use_feature=False)
+        idx = np.arange(6)
+        bn = ds._extract_batch_native(idx)
+        bp = ds._extract_batch_python(idx)
+        for i in range(6):
+            zn = {int(nid): np.atleast_1d(z).tolist() for nid, z in
+                  zip(bn.node_ids[i][bn.node_mask[i]],
+                      bn.z[i][bn.node_mask[i]])}
+            zp = {int(nid): np.atleast_1d(z).tolist() for nid, z in
+                  zip(bp.node_ids[i][bp.node_mask[i]],
+                      bp.z[i][bp.node_mask[i]])}
+            assert zn == zp, f"label={label} link {i}"
+
+
+def test_native_self_link_does_not_fake_dst():
+    """Regression: for (v, v) self-links the native path treated local node
+    1 (an arbitrary neighbour) as the dst endpoint — deleting a real edge
+    and mislabelling that neighbour as a center."""
+    from subgraph_sketching_tpu.graph.native import have_native
+    if not have_native():
+        pytest.skip("native toolchain unavailable")
+    n = 20
+    ring = np.stack([np.arange(n), (np.arange(n) + 1) % n])
+    ei = np.concatenate([ring, ring[::-1]], axis=1).astype(np.int32)
+    g = Graph(ei, n)
+    links = np.array([[4, 4]], np.int32)  # degenerate negative sample
+    ds = SEALDataset(g, links, links.copy(), num_hops=1, node_label="drnl",
+                     max_nodes=16, max_edges=64, use_feature=False)
+    bn = ds._extract_batch_native(np.array([0]))
+    # the center keeps BOTH its ring edges (nothing spuriously removed):
+    # node 4 appears as an endpoint of 4 directed edges (2 undirected)
+    src = bn.edge_index[0, bn.edge_mask[0], 0]
+    nodes = bn.node_ids[0]
+    center_local = int(np.nonzero(nodes == 4)[0][0])
+    assert center_local == 0
+    assert int((src == 0).sum()) == 2
+    # exactly one node is labelled as a center (z == 1)
+    assert int((bn.z[0][bn.node_mask[0]] == 1).sum()) == 1

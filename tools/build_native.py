@@ -27,11 +27,20 @@ def _build_one(src: str, out: str, verbose: bool) -> str:
     if (os.path.exists(out)
             and os.path.getmtime(out) >= os.path.getmtime(src)):
         return out
+    # compile to a private temp file and atomically rename: a concurrent
+    # process (multi-host shared FS, loader workers) must never dlopen a
+    # half-written .so
+    tmp = f"{out}.tmp.{os.getpid()}"
     cmd = ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
-           "-std=c++17", src, "-o", out]
+           "-std=c++17", src, "-o", tmp]
     if verbose:
         print(" ".join(cmd))
-    subprocess.run(cmd, check=True)
+    try:
+        subprocess.run(cmd, check=True)
+        os.replace(tmp, out)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
     return out
 
 
