@@ -23,6 +23,12 @@ def _cfg(**kw):
 
 
 MATRIX = [
+    # multi-axis meshes through the production runner (the virtual 8-device
+    # CPU mesh from conftest): DP, DP x graph-sharded, 3-axis ELPH
+    dict(model="BUDDY", mesh_shape=[8]),
+    dict(model="BUDDY", mesh_shape=[2, 4], mesh_axes=["data", "graph"]),
+    dict(model="ELPH", mesh_shape=[2, 2, 2],
+         mesh_axes=["data", "graph", "lane"]),
     dict(model="BUDDY", use_RA=True),
     dict(model="BUDDY", add_normed_features=True, loss="auc"),
     dict(model="BUDDY", sign_k=2, use_zero_one=True, floor_sf=True),
