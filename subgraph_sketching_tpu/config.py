@@ -25,12 +25,14 @@ class Config:
     train_samples: float = inf  # number of training edges, or fraction if < 1
     val_samples: float = inf
     test_samples: float = inf
+    # parse-only, like the reference (--preprocessing is declared at
+    # run.py:161 and never read)
     preprocessing: Optional[str] = None
     sign_k: int = 0
     load_features: bool = False
     load_hashes: bool = False
     cache_subgraph_features: bool = False
-    train_cache_size: float = inf
+    train_cache_size: float = inf  # parse-only in the reference too (run.py:167)
     year: int = 0  # ogbl-collab: drop training edges before this year
 
     # ---- GNN settings (run.py:170-180) ----
@@ -72,7 +74,7 @@ class Config:
     lr: float = 1e-4
     weight_decay: float = 0.0
     epochs: int = 100
-    num_workers: int = 4
+    num_workers: int = 4  # reference DataLoader workers; no loader here
     num_negs: int = 1
     train_node_embedding: bool = False
     propagate_embeddings: bool = False
@@ -82,9 +84,11 @@ class Config:
 
     # ---- eval settings (run.py:223-229) ----
     reps: int = 1
+    # parse-only like the reference (run.py:224; collab behaviour is
+    # instead hardcoded at data.py:173-176, mirrored in graph/datasets.py)
     use_valedges_as_input: bool = False
     eval_steps: int = 1
-    log_steps: int = 1
+    log_steps: int = 1  # parse-only in the reference too (run.py:226)
     eval_metric: str = "hits"  # hits | mrr | auc
     K: int = 100
 

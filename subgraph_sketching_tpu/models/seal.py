@@ -91,6 +91,7 @@ class SEALMLP(nn.Module):
     dropout: float = 0.5
     pooling: str = "add"
     dtype: Optional[jnp.dtype] = None  # compute dtype; logits return f32
+    use_node_embedding: bool = False   # structure-free baseline: labels only
 
     @nn.compact
     def __call__(self, batch, *, training: bool = False):

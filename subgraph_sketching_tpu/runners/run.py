@@ -38,7 +38,8 @@ def set_seed(seed: int) -> np.random.Generator:
     return np.random.default_rng(seed)
 
 
-SEAL_MODELS = ("SEALDGCNN", "SEALGCN", "SEALSAGE", "SEALGIN")
+SEAL_MODELS = ("SEALDGCNN", "SEALGCN", "SEALSAGE", "SEALGIN",
+               "SEALMLP")
 KGE_MODELS = ("transE", "distmult", "complEx", "rotatE")
 
 

@@ -58,6 +58,13 @@ def build_seal_model(cfg: Config, train_dataset: SEALDataset,
         return SEALSAGE(**common)
     if cfg.model == "SEALGIN":
         return SEALGIN(**common)
+    if cfg.model == "SEALMLP":
+        # structure-free baseline; --label_pooling picks add/mean pooling
+        # (reference seal.py:22-40 defines it but never dispatches it)
+        from subgraph_sketching_tpu.models.seal import SEALMLP
+        return SEALMLP(emb_dim=cfg.max_z, dropout=cfg.dropout,
+                       pooling=cfg.label_pooling,
+                       dtype=_dtype_from_cfg(cfg))
     raise NotImplementedError(cfg.model)
 
 

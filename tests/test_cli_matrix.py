@@ -76,3 +76,13 @@ def test_elph_struct_knockout_stages_zeros():
     assert sf.shape == (ds.links.shape[0],
                         sketch_params_from_config(cfg).sf_dim)
     assert not sf.any()
+
+
+@pytest.mark.parametrize("pooling", ["add", "mean"])
+def test_sealmlp_via_runner(pooling):
+    """SEALMLP (structure-free baseline) dispatches from the runner with
+    --label_pooling (the reference defines it, seal.py:22-40, but never
+    wires it into run.py)."""
+    test_res, val_res, train_res = run(_cfg(
+        model="SEALMLP", batch_size=64, label_pooling=pooling))[0]
+    assert np.isfinite([test_res, val_res, train_res]).all()
