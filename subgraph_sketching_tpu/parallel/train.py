@@ -110,7 +110,8 @@ def make_distributed_train_step(mesh: Mesh, params: SketchParams,
                                 hidden_channels: int, num_nodes: int,
                                 lr: float = 1e-3,
                                 label_dropout: float = 0.5,
-                                feature_dropout: float = 0.5):
+                                feature_dropout: float = 0.5,
+                                node_partition=None):
     """Full ELPH training over a mesh.
 
     Returns ``(init_fn, step_fn, optimizer, build_sketches)``:
@@ -125,13 +126,31 @@ def make_distributed_train_step(mesh: Mesh, params: SketchParams,
         scoring + BCE + Adam, with the link batch sharded on ``data``.
         Dropout takes a fresh per-step key, matching the single-device
         trainer.
+
+    ``node_partition`` (a NodePartitionPlan over the ``graph`` axis):
+    MEMORY-sharded mode — the sketch tables are built node-partitioned with
+    halo exchange and stay sharded 1/D per device through training; the
+    per-step feature extraction assembles only the queried rows via psum
+    (parallel/node_sharded.py).  This is the citation2-scale configuration:
+    sketch state never sits whole on one chip even while ELPH trains.
     """
     gnn, predictor, optimizer = _model_parts(
         params, hidden_channels, lr, label_dropout, feature_dropout)
     has_lane = "lane" in mesh.axis_names
     has_graph = "graph" in mesh.axis_names
+    if node_partition is not None and not has_graph:
+        raise ValueError("node_partition needs a 'graph' mesh axis")
 
     def build_sketches(edge_index, mask, init_mh, init_hll):
+        if node_partition is not None:
+            from subgraph_sketching_tpu.parallel.node_sharded import (
+                node_sharded_build_hash_tables,
+            )
+            import numpy as np
+            mh0, hll0 = node_partition.pad_init(np.asarray(init_mh),
+                                                np.asarray(init_hll))
+            return node_sharded_build_hash_tables(node_partition, params,
+                                                  mesh, mh0, hll0)
         if has_graph:
             return edge_sharded_build_hash_tables(
                 edge_index, num_nodes, params, mesh, init_mh, init_hll,
@@ -141,6 +160,11 @@ def make_distributed_train_step(mesh: Mesh, params: SketchParams,
                                  init=(init_mh, init_hll))
 
     def feature_fn(sk, links):
+        if node_partition is not None:
+            from subgraph_sketching_tpu.parallel.node_sharded import (
+                node_sharded_subgraph_features,
+            )
+            return node_sharded_subgraph_features(links, sk, params, mesh)
         if has_lane:
             return lane_sharded_subgraph_features(links, sk, params, mesh,
                                                   axis="lane")
@@ -159,7 +183,10 @@ def make_distributed_train_step(mesh: Mesh, params: SketchParams,
 
     build_jit = jax.jit(
         build_sketches,
-        in_shardings=(edge_shard, edge_mask_shard, lane_shard, lane_shard))
+        in_shardings=(edge_shard, edge_mask_shard, lane_shard, lane_shard)
+    ) if node_partition is None else build_sketches
+    # (the node-sharded builder jits per hop internally and device_puts the
+    # halo plan — it must not be re-wrapped in an outer jit)
     step_jit = jax.jit(
         step,
         # sk sharding = None: respect whatever layout build_sketches

@@ -166,6 +166,51 @@ def test_distributed_train_step_matches_single_device(setup):
                                    atol=1e-5, err_msg=jtu.keystr(kp))
 
 
+def test_memory_sharded_elph_training(setup):
+    """node_partition mode: ELPH trains with the sketch tables SHARDED 1/D
+    per device (node-partitioned build + psum-assembled per-batch features)
+    and still produces the single-device losses."""
+    from subgraph_sketching_tpu.parallel import make_node_partition
+    from subgraph_sketching_tpu.parallel.train import (
+        make_distributed_train_step, single_device_reference_step,
+    )
+    g, params, sk_ref, links = setup
+    mesh = make_mesh([2, 4], ("data", "graph"))
+    part = make_node_partition(np.asarray(g.edge_index), 64, 4)
+    kw = dict(hidden_channels=16, num_nodes=64, label_dropout=0.0,
+              feature_dropout=0.0)
+    init_fn, step_fn, _, build_sk = make_distributed_train_step(
+        mesh, params, node_partition=part, **kw)
+    ref_init, ref_step, _, ref_build = single_device_reference_step(params,
+                                                                    **kw)
+    ei, w, mask = g.padded_edges(multiple=8)
+    mh0, hll0 = initialise_sketches(64, params)
+    x = jnp.asarray(np.random.default_rng(0).random((64, 16),
+                                                    dtype=np.float32))
+    labels = jnp.asarray((np.arange(32) % 2).astype(np.float32))
+    sk = build_sk(jnp.asarray(ei), jnp.asarray(mask), mh0, hll0)
+    # the memory-sharding claim: per-device shard is 1/4 of each table
+    for arr in (sk.minhash, sk.hll):
+        shard = arr.addressable_shards[0].data
+        assert np.prod(shard.shape) == np.prod(arr.shape) // 4, \
+            f"sketch state not sharded: {shard.shape} of {arr.shape}"
+    sk_1dev = ref_build(jnp.asarray(ei), jnp.asarray(mask),
+                        jnp.asarray(mh0), jnp.asarray(hll0))
+    state = init_fn(jax.random.PRNGKey(0), x, jnp.asarray(ei),
+                    jnp.asarray(mask), jnp.asarray(links))
+    ref_state = ref_init(jax.random.PRNGKey(0), x, jnp.asarray(ei),
+                         jnp.asarray(mask), jnp.asarray(links))
+    args = (x, jnp.asarray(ei), jnp.asarray(mask), sk,
+            jnp.asarray(links), labels)
+    ref_args = (x, jnp.asarray(ei), jnp.asarray(mask), sk_1dev,
+                jnp.asarray(links), labels)
+    for i in range(2):
+        rng = jax.random.PRNGKey(100 + i)
+        state, loss = step_fn(state, *args, rng)
+        ref_state, ref_loss = ref_step(ref_state, *ref_args, rng)
+        np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-4)
+
+
 def test_dp_batch_sharded_buddy_epoch(setup):
     """Data-parallel BUDDY: epoch scan with the permutation sharded on the
     batch axis must match the metric envelope of single-device training."""
