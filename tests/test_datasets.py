@@ -276,3 +276,18 @@ def test_build_all_splits_reuses_shared_graph_precomputes():
     np.testing.assert_allclose(ds["valid"].subgraph_features,
                                fresh.subgraph_features, rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(ds["valid"].x, fresh.x, rtol=1e-6, atol=1e-6)
+
+
+def test_citation2_shape_through_full_runner(fake_ogb, tmp_path):
+    """The citation2 configuration end-to-end via run(): directed graph,
+    same-source train negatives, MRR metric, and the aligned train-eval
+    subset (reference get_loaders data.py:55-59) — on the fake ogb module."""
+    from subgraph_sketching_tpu.runners.run import run
+
+    cfg = Config(dataset_name="ogbl-citation2", data_root=str(tmp_path),
+                 model="BUDDY", epochs=2, hidden_channels=16,
+                 batch_size=64, eval_batch_size=256, num_negs=2)
+    results = run(cfg)
+    test_res, val_res, train_res = results[0]
+    assert np.isfinite([test_res, val_res, train_res]).all()
+    assert 0.0 <= val_res <= 1.0  # MRR in [0, 1]
