@@ -70,6 +70,37 @@ def test_bucketed_score_empty_query():
     assert out.shape == (0,)
 
 
+def test_elph_scorer_under_graph_mesh_matches_meshless():
+    """Graph-axis staging pads the edge list with (0, 0) columns; the
+    scorer drops them before rebuilding sketches (they're self-loops, so
+    they happen to be absorbed by the closed-neighbourhood fold-in — the
+    drop keeps that invariant explicit rather than incidental, and saves
+    plan slots).  Scores from a graph-mesh trainer must equal a mesh-less
+    scorer's."""
+    from subgraph_sketching_tpu.graph.preprocess import (
+        sketch_params_from_config,
+    )
+    from subgraph_sketching_tpu.serving import ElphLinkScorer
+    from subgraph_sketching_tpu.train.loops import ElphTrainer
+
+    base = dict(dataset_name="synth-ba", hidden_channels=16, batch_size=256,
+                eval_batch_size=1024, model="ELPH", K=20,
+                feature_dropout=0.0, label_dropout=0.0)
+    splits, _, _ = get_data(Config(**base))
+    ds = {k: build_link_dataset(sd, Config(**base), k)
+          for k, sd in splits.items()}
+    scores = {}
+    for mesh_shape, axes in ((None, ["data"]), ([2, 4], ["data", "graph"])):
+        cfg = Config(**base, mesh_shape=mesh_shape, mesh_axes=axes)
+        tr = ElphTrainer(cfg, ds["train"], sketch_params_from_config(cfg),
+                         ds["train"].x.shape[-1])
+        state = tr.init_state(jax.random.PRNGKey(0))
+        scorer = ElphLinkScorer(tr, state, split="train", min_bucket=64)
+        scores[str(mesh_shape)] = scorer.score(ds["valid"].links[:64])
+    np.testing.assert_allclose(scores["None"], scores["[2, 4]"],
+                               rtol=1e-5, atol=1e-5)
+
+
 @pytest.mark.parametrize("model", ["BUDDY", "ELPH"])
 def test_serving_honors_struct_feature_knockout(model):
     """A model trained with --use_struct_feature 0 saw only zeroed
