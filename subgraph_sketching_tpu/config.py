@@ -135,6 +135,9 @@ class Config:
     mesh_axes: List[str] = field(default_factory=lambda: ["data"])
     checkpoint_dir: Optional[str] = None
     resume: bool = False  # restore the latest checkpoint from checkpoint_dir
+    # persistent XLA compilation cache: repeat runs (and --resume restarts)
+    # skip the 15-60s-per-shape remote compiles
+    compilation_cache_dir: Optional[str] = None
     # multi-process failure detection (parallel/fault.py): shared dir for
     # heartbeats; a peer silent for heartbeat_timeout seconds aborts the run
     # cleanly (restartable via --resume) instead of hanging in a collective

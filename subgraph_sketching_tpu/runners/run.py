@@ -89,6 +89,9 @@ def run(cfg: Config):
             f"model {cfg.model} is not wired into the runner yet "
             f"(available: BUDDY, ELPH, {', '.join(SEAL_MODELS)}, "
             f"{', '.join(KGE_MODELS)})")
+    if cfg.compilation_cache_dir:
+        jax.config.update("jax_compilation_cache_dir",
+                          cfg.compilation_cache_dir)
     print(f"executing on {jax.devices()[0].platform}")
     # multi-process runs: heartbeat failure detector so a dead peer aborts
     # the run promptly (restartable with --resume) instead of hanging the
