@@ -339,3 +339,30 @@ def test_meshed_trainer_is_bitwise_deterministic(setup):
     state = trainer.init_state(jax.random.PRNGKey(0))
     n, loss = check_epoch_determinism(trainer, state, jax.random.PRNGKey(5))
     assert n > 0 and np.isfinite(loss)
+
+
+def test_ici_scaling_model_structure():
+    """The analytic ICI scaling model (BASELINE criterion 4 on 1-chip
+    hardware): efficiency is 1 at the base point, bounded by (0, 1], and
+    a zero-locality random graph is never easier than a locality-ordered
+    ring graph of the same size (its halo volume dominates)."""
+    from subgraph_sketching_tpu.parallel.scaling import ici_scaling_model
+    rnd = ici_scaling_model(num_nodes=20_000, device_counts=[1, 2, 4, 8])
+    ring = ici_scaling_model(num_nodes=20_000, device_counts=[1, 2, 4, 8],
+                             graph="ring")
+    for out in (rnd, ring):
+        effs = {int(d): r["efficiency"]
+                for d, r in out["per_device_count"].items()}
+        assert effs[1] == 1.0
+        assert all(0.0 < e <= 1.0 for e in effs.values())
+    for d in ("2", "4", "8"):
+        assert (ring["per_device_count"][d]["efficiency"]
+                >= rnd["per_device_count"][d]["efficiency"])
+        assert (ring["per_device_count"][d]["halo_rows_per_dev"]
+                <= rnd["per_device_count"][d]["halo_rows_per_dev"])
+    # weak scaling: per-device work constant, efficiency still in (0, 1]
+    weak = ici_scaling_model(num_nodes=10_000, weak=True,
+                             device_counts=[1, 2, 4])
+    assert weak["mode"] == "weak"
+    assert all(0.0 < r["efficiency"] <= 1.0
+               for r in weak["per_device_count"].values())

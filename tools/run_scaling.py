@@ -27,7 +27,8 @@ jax.config.update("jax_platforms", "cpu")
 def main():
     rnd = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     from subgraph_sketching_tpu.parallel.scaling import (
-        measure_node_sharded_scaling, measure_scaling, scaling_efficiency,
+        ici_scaling_model, measure_node_sharded_scaling, measure_scaling,
+        scaling_efficiency,
     )
     edge = measure_scaling()
     node = measure_node_sharded_scaling()
@@ -44,6 +45,20 @@ def main():
             "edges_per_s": {str(d): round(v) for d, v in node.items()},
             "efficiency": {str(d): round(v, 3)
                            for d, v in scaling_efficiency(node).items()},
+        },
+        # Projected multi-chip efficiency from REAL partition geometry +
+        # the measured single-chip rate (CPU-mesh wall clocks cannot
+        # measure scaling; see ici_scaling_model docstring).  Random graph
+        # = zero-locality worst case; ring = locality-ordered best case
+        # (real citation graphs partitioned by cluster sit near the ring).
+        "ici_model": {
+            "strong_random": ici_scaling_model(),
+            "strong_ring": ici_scaling_model(graph="ring"),
+            "weak_random": ici_scaling_model(num_nodes=100_000, weak=True,
+                                             device_counts=[1, 2, 4, 8]),
+            "weak_ring": ici_scaling_model(num_nodes=100_000, weak=True,
+                                           graph="ring",
+                                           device_counts=[1, 2, 4, 8]),
         },
     }
     path = os.path.join(os.path.dirname(__file__), "..",
