@@ -30,7 +30,7 @@ HEURISTICS = {
 
 
 def run(cfg: Config, heuristics=("RA", "CN", "AA", "PPR"),
-        device: bool = False):
+        device: bool = False, logger=None):
     # dataset-specific K (reference run_heuristics.py:27-31)
     k = 100
     if cfg.dataset_name == "ogbl-collab":
@@ -100,6 +100,8 @@ def run(cfg: Config, heuristics=("RA", "CN", "AA", "PPR"),
         print(summary)
         print(f"{name} scored in {times[name]:.1f}s over {cfg.reps} reps")
         all_results[name] = summary
+        if logger is not None:
+            logger.log(summary)
     return all_results
 
 
@@ -114,13 +116,37 @@ def main(argv=None):
     parser.add_argument("--platform", type=str, default=None,
                         help="force jax platform (e.g. cpu) — the metric "
                              "math runs on device even for host scoring")
+    # reference CLI compatibility (run_heuristics.py:116-120): wandb flags
+    # route to the structured sink; sample_size is parse-only there too
+    # ("Currently only implemented for producer data").
+    parser.add_argument("--wandb_entity", type=str, default="link-prediction")
+    parser.add_argument("--wandb_project", type=str, default="link-prediction")
+    parser.add_argument("--wandb", action="store_true",
+                        help="also mirror summaries to wandb if installed")
+    parser.add_argument("--run_dir", type=str, default=None,
+                        help="write summaries to <run_dir>/metrics.jsonl")
+    parser.add_argument("--sample_size", type=int, default=None,
+                        help="parse-only, as in the reference (producer data "
+                             "is not a public dataset)")
     args = parser.parse_args(argv)
+    if args.sample_size is not None:
+        print("--sample_size is parse-only (reference implements it only "
+              "for the private 'producer' dataset)")
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
     cfg = Config(dataset_name=args.dataset_name, reps=args.reps,
                  platform=args.platform)
-    return run(cfg, tuple(args.heuristics.split(",")), device=args.device)
+    logger = None
+    if args.run_dir or args.wandb:
+        from subgraph_sketching_tpu.metrics_logging import MetricsLogger
+        logger = MetricsLogger(
+            run_dir=args.run_dir, use_wandb=args.wandb,
+            config=vars(args),
+            wandb_kwargs={"entity": args.wandb_entity,
+                          "project": args.wandb_project})
+    return run(cfg, tuple(args.heuristics.split(",")), device=args.device,
+               logger=logger)
 
 
 if __name__ == "__main__":

@@ -69,3 +69,24 @@ def test_reps_and_sweep_flags_parse():
     a = parser.parse_args(["--dataset_name", "Cora", "--model", "BUDDY",
                            "--reps", "10", "--wandb_sweep"])
     assert a.reps == 10 and a.wandb_sweep is True
+
+
+def test_heuristics_runner_reference_flags(tmp_path):
+    """The reference heuristics CLI surface (run_heuristics.py:110-120)
+    parses here too: wandb_entity/wandb_project/sample_size/reps, with
+    summaries mirrored to the JSONL sink via --run_dir."""
+    import json
+    import os
+
+    from subgraph_sketching_tpu.runners import run_heuristics
+
+    run_dir = str(tmp_path / "heur")
+    results = run_heuristics.main([
+        "--dataset_name", "synth-ba", "--reps", "1", "--heuristics", "CN",
+        "--wandb_entity", "link-prediction", "--wandb_project",
+        "link-prediction", "--sample_size", "5", "--run_dir", run_dir,
+    ])
+    assert "CN" in results and "CN_test_mean" in results["CN"]
+    lines = [json.loads(l) for l in
+             open(os.path.join(run_dir, "metrics.jsonl"))]
+    assert any("CN_test_mean" in rec for rec in lines)
