@@ -17,6 +17,12 @@ CONFIGS = {
                            batch_size=1024),
     "elph-synth-ws": dict(dataset_name="synth-ws", model="ELPH", epochs=15,
                           K=50),
+    # baseline tiers (reference's SEAL/heuristics comparisons); SEAL gets
+    # fewer default epochs — per-edge subgraph extraction dominates
+    "seal-dgcnn-synth-ba": dict(dataset_name="synth-ba", model="SEALDGCNN",
+                                epochs=5, K=50, num_hops=1,
+                                max_nodes_per_hop=20),
+    "heuristics-synth-ws": None,  # RA/CN/AA via run_heuristics (1 rep)
 }
 
 
@@ -25,6 +31,9 @@ def main():
     ap.add_argument("--round", type=int, default=2)
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--only", default=None,
+                    help="comma-separated subset of config names; existing "
+                         "rows in the artifact are kept (merge, not rewrite)")
     args = ap.parse_args()
 
     if args.platform:
@@ -34,9 +43,37 @@ def main():
     from subgraph_sketching_tpu.config import Config
     from subgraph_sketching_tpu.runners.run import run
 
+    path = f"/root/repo/QUALITY_r{args.round:02d}.json"
     out = {"protocol": f"{args.reps} reps, best-val model selection, "
                        "mean +/- std (reference README.md:100-104)"}
-    for name, kw in CONFIGS.items():
+    selected = dict(CONFIGS)
+    if args.only:
+        names = args.only.split(",")
+        selected = {n: CONFIGS[n] for n in names}
+        try:
+            with open(path) as f:
+                prev = json.load(f)
+            prev.update({k: v for k, v in out.items() if k not in prev})
+            out = prev
+        except FileNotFoundError:
+            pass
+    for name, kw in selected.items():
+        if name == "heuristics-synth-ws":
+            from subgraph_sketching_tpu.runners import run_heuristics
+            cfg = Config(dataset_name="synth-ws", reps=1, K=50)
+            t0 = time.time()
+            res = run_heuristics.run(cfg, heuristics=("RA", "CN", "AA"))
+            out[name] = {
+                "metric": "Hits@100",  # synth-ws is not an ogbl-* name
+                **{f"{h}_test_mean": round(res[h][f"{h}_test_mean"], 2)
+                   for h in ("RA", "CN", "AA")},
+                "reps": 1, "wall_s": round(time.time() - t0, 1),
+                "command": "python -m subgraph_sketching_tpu.runners."
+                           "run_heuristics --dataset_name synth-ws "
+                           "--heuristics RA,CN,AA",
+            }
+            print(name, out[name], flush=True)
+            continue
         cfg = Config(reps=args.reps, **kw)
         if args.platform:
             cfg.platform = args.platform
@@ -59,7 +96,6 @@ def main():
         }
         print(name, out[name], flush=True)
 
-    path = f"/root/repo/QUALITY_r{args.round:02d}.json"
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
     print("wrote", path, flush=True)
