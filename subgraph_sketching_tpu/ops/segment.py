@@ -5,8 +5,10 @@ PyG ``MessagePassing(aggr='max')`` (reference: src/hashing.py:28-45).
 All shapes are static: edge arrays may be padded, with a boolean mask
 selecting real edges.  Padded lanes contribute the reduction identity.
 
-The jnp versions compile to XLA scatter ops; the Pallas CSR kernels in
-``ops.pallas`` provide the fused gather+reduce fast path for the hot loops.
+The jnp versions compile to XLA scatter ops; the padded-tree reduction plans
+in ``ops.segment_scan`` provide the gather-based fast path for the hot loops
+(hand-written Pallas kernels were measured and retired — see
+``studies/README.md`` for the numbers).
 """
 
 from __future__ import annotations

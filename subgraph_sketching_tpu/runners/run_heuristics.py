@@ -80,7 +80,6 @@ def run(cfg: Config, heuristics=("RA", "CN", "AA", "PPR"),
                 res = evaluate_hits(ptr, ntr, pv, nv, pt, nt, Ks=[k])
                 key = f"Hits@{k}"
             print(f"{name} rep {rep}: {key} {res[key]}")
-            results_by_name[name].append(res[key])
             auc = evaluate_auc(np.concatenate([pv, nv]),
                                np.concatenate([np.ones(len(pv)),
                                                np.zeros(len(nv))]),
@@ -88,6 +87,10 @@ def run(cfg: Config, heuristics=("RA", "CN", "AA", "PPR"),
                                np.concatenate([np.ones(len(pt)),
                                                np.zeros(len(nt))]))
             print(f"{name} rep {rep}: AUC {auc['AUC']}")
+            # AUC rides along with the hits/mrr triple: Hits@K saturates on
+            # dense synthetic graphs (RA/CN/AA tie to two decimals on
+            # synth-ws) while AUC still separates the weightings
+            results_by_name[name].append(tuple(res[key]) + tuple(auc["AUC"]))
             times[name] += time.time() - t0
 
     all_results = {}
@@ -96,7 +99,9 @@ def run(cfg: Config, heuristics=("RA", "CN", "AA", "PPR"),
         summary = {f"{name}_train_mean": arr[:, 0].mean(),
                    f"{name}_val_mean": arr[:, 1].mean(),
                    f"{name}_test_mean": arr[:, 2].mean(),
-                   f"{name}_test_std": arr[:, 2].std()}
+                   f"{name}_test_std": arr[:, 2].std(),
+                   f"{name}_val_auc_mean": arr[:, 3].mean(),
+                   f"{name}_test_auc_mean": arr[:, 4].mean()}
         print(summary)
         print(f"{name} scored in {times[name]:.1f}s over {cfg.reps} reps")
         all_results[name] = summary
@@ -145,8 +150,12 @@ def main(argv=None):
             config=vars(args),
             wandb_kwargs={"entity": args.wandb_entity,
                           "project": args.wandb_project})
-    return run(cfg, tuple(args.heuristics.split(",")), device=args.device,
-               logger=logger)
+    try:
+        return run(cfg, tuple(args.heuristics.split(",")), device=args.device,
+                   logger=logger)
+    finally:
+        if logger is not None:
+            logger.finish()  # the reference calls wandb.finish()
 
 
 if __name__ == "__main__":

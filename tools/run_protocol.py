@@ -46,31 +46,41 @@ def main():
     path = f"/root/repo/QUALITY_r{args.round:02d}.json"
     out = {"protocol": f"{args.reps} reps, best-val model selection, "
                        "mean +/- std (reference README.md:100-104)"}
+    # ALWAYS merge into an existing artifact: a default run must not delete
+    # rows it chose not to re-run (e.g. the opt-in SEAL row)
+    try:
+        with open(path) as f:
+            prev = json.load(f)
+        prev.update(out)
+        out = prev
+    except FileNotFoundError:
+        pass
     selected = dict(CONFIGS)
     if not args.only:
         # SEAL is ~90s/epoch on CPU — a 10-rep default run would take
         # hours; run it explicitly via --only seal-dgcnn-synth-ba --reps 1
         selected.pop("seal-dgcnn-synth-ba")
         print("skipping seal-dgcnn-synth-ba by default (opt in via --only)")
-    if args.only:
-        names = args.only.split(",")
+    else:
+        names = [n for n in args.only.split(",") if n]
+        unknown = [n for n in names if n not in CONFIGS]
+        if unknown:
+            ap.error(f"unknown config(s) {unknown}; "
+                     f"choose from {sorted(CONFIGS)}")
         selected = {n: CONFIGS[n] for n in names}
-        try:
-            with open(path) as f:
-                prev = json.load(f)
-            prev.update({k: v for k, v in out.items() if k not in prev})
-            out = prev
-        except FileNotFoundError:
-            pass
     for name, kw in selected.items():
         if name == "heuristics-synth-ws":
             from subgraph_sketching_tpu.runners import run_heuristics
-            cfg = Config(dataset_name="synth-ws", reps=1, K=50)
+            cfg = Config(dataset_name="synth-ws", reps=1)
             t0 = time.time()
             res = run_heuristics.run(cfg, heuristics=("RA", "CN", "AA"))
             out[name] = {
-                "metric": "Hits@100",  # synth-ws is not an ogbl-* name
+                # Hits@100 saturates on synth-ws (RA/CN/AA tie); AUC is the
+                # column that separates the three weightings
+                "metric": "Hits@100 + AUC",  # synth-ws is not an ogbl-* name
                 **{f"{h}_test_mean": round(res[h][f"{h}_test_mean"], 2)
+                   for h in ("RA", "CN", "AA")},
+                **{f"{h}_test_auc": round(res[h][f"{h}_test_auc_mean"], 2)
                    for h in ("RA", "CN", "AA")},
                 "reps": 1, "wall_s": round(time.time() - t0, 1),
                 "command": "python -m subgraph_sketching_tpu.runners."
