@@ -52,6 +52,9 @@ class LinkDataset:
     subgraph_features: Optional[np.ndarray] = None  # [N, sf_dim] (BUDDY)
     RA: Optional[np.ndarray] = None   # [N]
     sketches: Optional[Sketches] = None  # retained for ELPH-style eval
+    # node-id -> row-position map when ``sketches`` is node-sharded
+    # (locality-partitioned) state; None for plain single-device sketches
+    sketch_perm: Optional[np.ndarray] = None
 
     @property
     def num_links(self) -> int:
@@ -114,7 +117,7 @@ def _cache_name(cfg: Config, split: str, kind: str) -> Optional[str]:
 
 
 def _chunked_node_sharded_features(links, sketches, params, mesh,
-                                   cfg: Config) -> np.ndarray:
+                                   cfg: Config, perm=None) -> np.ndarray:
     """Per-link features from NODE-sharded sketch state, in fixed-size
     chunks (one compiled shape; the tail pads with (0, 0) links)."""
     from subgraph_sketching_tpu.parallel.node_sharded import (
@@ -129,7 +132,7 @@ def _chunked_node_sharded_features(links, sketches, params, mesh,
             pad = bs - len(chunk)
             chunk = np.concatenate([chunk, np.zeros((pad, 2), np.int32)])
         res = np.asarray(node_sharded_subgraph_features(
-            jnp.asarray(chunk), sketches, params, mesh))
+            jnp.asarray(chunk), sketches, params, mesh, perm=perm))
         chunks.append(res[:len(res) - pad] if pad else res)
     return np.concatenate(chunks, axis=0)[:len(links)]
 
@@ -197,14 +200,15 @@ def build_link_dataset(split_data: SplitData, cfg: Config, split: str,
     sf_cache = _cache_name(cfg, split, "subgraph_features")
     params = sketch_params_from_config(cfg)
     sketches = reuse_from.sketches if same_graph else None
+    sketch_perm = reuse_from.sketch_perm if same_graph else None
     if sketches is not None:
         mesh = None
         if cfg.mesh_shape and "graph" in (cfg.mesh_axes or []):
             from subgraph_sketching_tpu.parallel.mesh import make_mesh
             mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes)
-        if mesh is not None and sketches.minhash.shape[1] != g.num_nodes:
+        if mesh is not None and sketch_perm is not None:
             sf = _chunked_node_sharded_features(links, sketches, params,
-                                                mesh, cfg)
+                                                mesh, cfg, perm=sketch_perm)
         else:
             sf = np.asarray(subgraph_features_batched(
                 links, sketches, params,
@@ -227,8 +231,9 @@ def build_link_dataset(split_data: SplitData, cfg: Config, split: str,
                                 cards=jnp.asarray(z["cards"]))
         elif mesh is not None:
             # memory-sharded preprocessing (the citation2-scale path): the
-            # sketch tables never sit whole on one chip — node-partitioned
-            # build with halo exchange, per-batch psum-assembled features
+            # sketch tables never sit whole on one chip — locality-ordered
+            # node-partitioned build with halo exchange, per-batch
+            # psum-assembled features
             from subgraph_sketching_tpu.parallel.node_sharded import (
                 make_node_partition, node_sharded_build_hash_tables,
             )
@@ -239,6 +244,7 @@ def build_link_dataset(split_data: SplitData, cfg: Config, split: str,
                                                            params))
             sketches = node_sharded_build_hash_tables(part, params, mesh,
                                                       mh0, hll0)
+            sketch_perm = part.perm
         else:
             from subgraph_sketching_tpu.ops.segment_scan import make_auto_plan
             plan = (make_auto_plan(g.edge_index, g.num_nodes,
@@ -250,9 +256,9 @@ def build_link_dataset(split_data: SplitData, cfg: Config, split: str,
                 np.savez(hash_cache, minhash=np.asarray(sketches.minhash),
                          hll=np.asarray(sketches.hll),
                          cards=np.asarray(sketches.cards))
-        if mesh is not None and sketches.minhash.shape[1] != g.num_nodes:
+        if mesh is not None and sketch_perm is not None:
             sf = _chunked_node_sharded_features(links, sketches, params,
-                                                mesh, cfg)
+                                                mesh, cfg, perm=sketch_perm)
         else:
             sf = np.asarray(subgraph_features_batched(
                 links, sketches, params,
@@ -273,7 +279,7 @@ def build_link_dataset(split_data: SplitData, cfg: Config, split: str,
 
     return LinkDataset(links, labels, g.edge_index, g.weights, g.num_nodes,
                        x, degrees, subgraph_features=sf, RA=RA,
-                       sketches=sketches)
+                       sketches=sketches, sketch_perm=sketch_perm)
 
 
 def build_all_splits(splits, cfg: Config, directed: bool = False):
@@ -328,4 +334,4 @@ def make_train_eval_dataset(train_ds: LinkDataset,
         num_nodes=train_ds.num_nodes, x=train_ds.x,
         degrees=train_ds.degrees,
         subgraph_features=np.concatenate([pos_sf, neg_sf]), RA=RA,
-        sketches=train_ds.sketches)
+        sketches=train_ds.sketches, sketch_perm=train_ds.sketch_perm)

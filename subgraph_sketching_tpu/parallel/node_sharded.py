@@ -43,8 +43,13 @@ from subgraph_sketching_tpu.sketch.params import SketchParams, Sketches
 class NodePartitionPlan:
     """Host-built static partition of nodes + edges for D devices.
 
-    Node v lives on device v // shard_size.  Edge (u, v) is processed by
-    v's owner; if u is remote it reads u's row from the halo buffer.
+    ``perm[v]`` is node v's row position in the padded sharded tables; the
+    node lives on device ``perm[v] // shard_size``.  Edge (u, v) is
+    processed by v's owner; if u is remote it reads u's row from the halo
+    buffer.  With ``method='locality'`` the positions follow a reverse
+    Cuthill–McKee ordering of the graph, so a contiguous cut of positions
+    is a low-boundary partition (SURVEY.md §2d: partition quality —
+    minimising boundary nodes — is the scaling-efficiency lever).
     """
 
     num_nodes: int
@@ -61,37 +66,212 @@ class NodePartitionPlan:
     halo_src: np.ndarray     # [D, E_halo] index into the [D*H] halo buffer
     halo_dst: np.ndarray     # [D, E_halo] local row index of dst
     halo_mask: np.ndarray    # [D, E_halo]
+    # [num_nodes] int32: node id -> padded row position (identity ordering
+    # for method='contiguous'); queries translate through it
+    perm: np.ndarray = None
 
     @property
     def padded_nodes(self) -> int:
         return self.n_dev * self.shard_size
 
+    @property
+    def is_identity_perm(self) -> bool:
+        return self.perm is None or len(self.perm) == 0 or (
+            self.perm[0] == 0 and self.perm[-1] == self.num_nodes - 1
+            and np.array_equal(
+                self.perm, np.arange(self.num_nodes, dtype=self.perm.dtype)))
+
+    @property
+    def halo_rows_per_dev(self) -> int:
+        """Padded halo rows each device receives per hop — (D-1)*H rows
+        actually ride the all_to_all wire (the collective pads every
+        sender-receiver pair to the max pair width H)."""
+        return (self.n_dev - 1) * self.halo_width
+
     def pad_init(self, init_mh: np.ndarray, init_hll: np.ndarray):
-        """Pad hop-0 sketches to ``padded_nodes`` rows with the reduction
-        identities (minhash min identity 0xFFFFFFFF, HLL max identity 0) —
-        the single place these identities are encoded for padding."""
-        pad = self.padded_nodes - init_mh.shape[0]
-        if pad == 0:
-            return init_mh, init_hll
-        mh = np.concatenate(
-            [init_mh, np.full((pad, init_mh.shape[1]),
-                              np.iinfo(init_mh.dtype).max, init_mh.dtype)])
-        hll = np.concatenate(
-            [init_hll, np.zeros((pad, init_hll.shape[1]), init_hll.dtype)])
+        """Lay hop-0 sketch rows out in partition order, padded to
+        ``padded_nodes`` rows with the reduction identities (minhash min
+        identity 0xFFFFFFFF, HLL max identity 0) — the single place these
+        identities are encoded for padding."""
+        if self.is_identity_perm:
+            pad = self.padded_nodes - init_mh.shape[0]
+            if pad == 0:
+                return init_mh, init_hll
+            mh = np.concatenate(
+                [init_mh, np.full((pad, init_mh.shape[1]),
+                                  np.iinfo(init_mh.dtype).max,
+                                  init_mh.dtype)])
+            hll = np.concatenate(
+                [init_hll, np.zeros((pad, init_hll.shape[1]),
+                                    init_hll.dtype)])
+            return mh, hll
+        mh = np.full((self.padded_nodes, init_mh.shape[1]),
+                     np.iinfo(init_mh.dtype).max, init_mh.dtype)
+        hll = np.zeros((self.padded_nodes, init_hll.shape[1]),
+                       init_hll.dtype)
+        mh[self.perm] = init_mh
+        hll[self.perm] = init_hll
         return mh, hll
+
+    def to_node_order(self, table: np.ndarray) -> np.ndarray:
+        """Rows of a padded sharded table in original node-id order
+        (axis -2 is the node axis, matching Sketches layouts)."""
+        perm = (np.arange(self.num_nodes) if self.perm is None else self.perm)
+        return np.take(np.asarray(table), perm, axis=-2)
+
+
+def _padded_halo_width(src: np.ndarray, dst: np.ndarray, part: np.ndarray,
+                       n_dev: int) -> int:
+    """H = max over (sender, receiver) pairs of unique boundary source
+    nodes — the all_to_all pads EVERY pair to this width, so (D-1)*H rows
+    ride the wire per receiver per hop.  This is the quantity the
+    partitioner minimises."""
+    ps, pd = part[src], part[dst]
+    remote = ps != pd
+    if not remote.any():
+        return 0
+    n = len(part)
+    key = (pd[remote].astype(np.int64) * n_dev + ps[remote]) * (n + 1) \
+        + src[remote]
+    sd = np.unique(key) // (n + 1)
+    return int(np.bincount(sd, minlength=n_dev * n_dev).max())
+
+
+def _rank_within_groups(groups: np.ndarray) -> np.ndarray:
+    """rank[i] = #j<i with groups[j] == groups[i] (order-preserving)."""
+    order = np.argsort(groups, kind="stable")
+    g = groups[order]
+    starts = np.flatnonzero(np.concatenate([[True], g[1:] != g[:-1]]))
+    within = np.arange(len(g)) - np.repeat(
+        starts, np.diff(np.concatenate([starts, [len(g)]])))
+    rank = np.empty(len(g), np.int64)
+    rank[order] = within
+    return rank
+
+
+def _refine_partition(src: np.ndarray, dst: np.ndarray, part: np.ndarray,
+                      n_dev: int, slack: float = 0.0625,
+                      passes: int = 32) -> np.ndarray:
+    """Balanced label-propagation refinement: repeatedly move boundary
+    nodes to the shard holding most of their neighbours, under per-shard
+    size caps (``slack`` headroom over n/D — the plan pads shards to the
+    max size anyway, so a few % of imbalance costs little memory and buys
+    large halo cuts).  Keeps the best-seen assignment by padded halo
+    width, so refinement can never return something worse than its input.
+    """
+    n = len(part)
+    S0 = -(-n // n_dev)
+    s_cap = int(S0 * (1 + slack)) + 1
+    idx = np.arange(n)
+    best = part.copy()
+    best_h = _padded_halo_width(src, dst, part, n_dev)
+    stale = 0
+    for _ in range(passes):
+        counts = np.bincount(
+            np.concatenate([dst * n_dev + part[src],
+                            src * n_dev + part[dst]]),
+            minlength=n * n_dev).reshape(n, n_dev)
+        want = counts.argmax(1).astype(np.int32)
+        gain = counts[idx, want] - counts[idx, part]
+        movers = np.flatnonzero((gain > 0) & (want != part))
+        if not len(movers):
+            break
+        movers = movers[np.argsort(-gain[movers], kind="stable")]
+        sizes = np.bincount(part, minlength=n_dev)
+        # vectorised two-stage acceptance: best-gain movers first, capped
+        # per destination (cap) and per source (don't drain below S0/2)
+        cap = np.maximum(s_cap - sizes, 0)
+        keep = _rank_within_groups(want[movers]) < cap[want[movers]]
+        movers = movers[keep]
+        avail = np.maximum(sizes - S0 // 2, 0)
+        keep = _rank_within_groups(part[movers]) < avail[part[movers]]
+        movers = movers[keep]
+        if not len(movers):
+            break
+        part[movers] = want[movers]
+        h = _padded_halo_width(src, dst, part, n_dev)
+        if h < best_h:
+            best_h, best, stale = h, part.copy(), 0
+        else:
+            stale += 1
+            if stale >= 5:
+                break
+    return best
+
+
+def balanced_partition(edge_index: np.ndarray, num_nodes: int,
+                       n_dev: int) -> np.ndarray:
+    """part[v] in [0, D): a balanced, low-halo node assignment.
+
+    Strategy: evaluate cheap candidate initialisations by padded halo
+    width — id-order blocks (wins when node ids already carry locality,
+    e.g. generator-ordered rings), strided round-robin (spreads BA-style
+    early-id hubs so no single shard's rows are needed by everyone), and
+    RCM-order blocks (wins on mesh/banded graphs; scipy, skipped if
+    absent) — then run balanced label-propagation refinement from the
+    best.  Refinement keeps the best-seen assignment, so the result is
+    never worse than plain contiguous blocks.  On uniformly random graphs
+    nothing helps (every node neighbours every shard w.h.p.) and this
+    degrades gracefully to the contiguous baseline.
+    """
+    src = np.asarray(edge_index[0], dtype=np.int64)
+    dst = np.asarray(edge_index[1], dtype=np.int64)
+    S0 = -(-num_nodes // n_dev)
+    ids = np.arange(num_nodes)
+    candidates = [(ids // S0).astype(np.int32),
+                  (ids % n_dev).astype(np.int32)]
+    try:
+        from scipy.sparse import csr_matrix
+        from scipy.sparse.csgraph import reverse_cuthill_mckee
+        A = csr_matrix((np.ones(len(src), np.float32), (src, dst)),
+                       shape=(num_nodes, num_nodes))
+        order = np.asarray(reverse_cuthill_mckee(A, symmetric_mode=False),
+                           dtype=np.int64)
+        pos = np.empty(num_nodes, np.int64)
+        pos[order] = ids
+        candidates.append((pos // S0).astype(np.int32))
+    except ImportError:
+        pass
+    part = min(candidates,
+               key=lambda p: _padded_halo_width(src, dst, p, n_dev))
+    return _refine_partition(src, dst, part.copy(), n_dev)
 
 
 def make_node_partition(edge_index: np.ndarray, num_nodes: int,
-                        n_dev: int) -> NodePartitionPlan:
+                        n_dev: int,
+                        method: str = "locality") -> NodePartitionPlan:
     """Build the static halo-exchange plan on host.
+
+    ``method='locality'`` (default): balanced low-halo partition
+    (``balanced_partition``: best of id-blocks/strided/RCM candidates +
+    label-propagation refinement) — on locality-structured graphs this
+    shrinks the per-hop all_to_all volume severalfold vs id-order blocks.
+    ``method='contiguous'``: the id-order blocks (round-2 behaviour).
 
     Fully vectorised numpy, O(E log E) total — no per-(sender, receiver)
     passes over the edge list and no per-edge Python (the previous
     implementation's O(D^2 E) masks + dict lookups were minutes of
     single-thread work at citation2 scale)."""
+    if method not in ("locality", "contiguous"):
+        raise ValueError(f"unknown partition method {method!r}")
     src = np.asarray(edge_index[0], dtype=np.int64)
     dst = np.asarray(edge_index[1], dtype=np.int64)
-    S = -(-num_nodes // n_dev)
+    if method == "locality" and n_dev > 1 and num_nodes > 0:
+        part = balanced_partition(edge_index, num_nodes, n_dev)
+        sizes = np.bincount(part, minlength=n_dev)
+        S = max(1, int(sizes.max()))
+        # positions: nodes sorted by (part, id); node v sits at
+        # part(v)*S + rank-of-v-within-its-part
+        order = np.argsort(part, kind="stable")
+        cum = np.concatenate([[0], np.cumsum(sizes[:-1])])
+        pos = part[order] * S + (np.arange(num_nodes) - cum[part[order]])
+        perm = np.empty(num_nodes, np.int32)
+        perm[order] = pos.astype(np.int32)
+        src = perm[src].astype(np.int64)
+        dst = perm[dst].astype(np.int64)
+    else:
+        perm = np.arange(num_nodes, dtype=np.int32)
+        S = -(-num_nodes // n_dev)
     owner_src = src // S
     owner_dst = dst // S
 
@@ -155,7 +335,7 @@ def make_node_partition(edge_index: np.ndarray, num_nodes: int,
                              halo_width=H, send_idx=send_idx,
                              send_mask=send_mask, local_src=ls, local_dst=ld,
                              local_mask=lm, halo_src=hs, halo_dst=hd,
-                             halo_mask=hm)
+                             halo_mask=hm, perm=perm)
 
 
 def _sharded_hop(plan: NodePartitionPlan, mesh: Mesh, axis: str):
@@ -243,7 +423,7 @@ def node_sharded_build_hash_tables(
 
 def node_sharded_subgraph_features(
         links, sk: Sketches, params: SketchParams, mesh: Mesh,
-        axis: str = "graph") -> jnp.ndarray:
+        axis: str = "graph", perm=None) -> jnp.ndarray:
     """Subgraph features for a link batch from NODE-sharded sketch state.
 
     Arbitrary (u, v) pairs need rows from arbitrary shards, so each device
@@ -251,6 +431,11 @@ def node_sharded_subgraph_features(
     gathered [B, width] blocks — 2·(K·B·width) bytes over ICI per batch,
     independent of graph size.  The feature math then runs replicated
     (identical to the single-device path, sketch/elph.py).
+
+    ``perm``: the NodePartitionPlan's node-id -> row-position map.  Pass it
+    whenever the sketches came from a locality-ordered partition (the
+    production default); node ids in ``links`` are translated to row
+    positions before the shard lookup.
     """
     from subgraph_sketching_tpu.sketch.elph import inclusion_exclusion_ladder
     from subgraph_sketching_tpu.sketch.minhash import jaccard
@@ -293,4 +478,7 @@ def node_sharded_subgraph_features(
         inter = jnp.transpose(inter, (2, 0, 1))                  # [B, K, K]
         return inclusion_exclusion_ladder(inter, cu, cv, params)
 
-    return features(jnp.asarray(links), sk.minhash, sk.hll, sk.cards)
+    links = jnp.asarray(links)
+    if perm is not None:
+        links = jnp.asarray(perm)[links]
+    return features(links, sk.minhash, sk.hll, sk.cards)

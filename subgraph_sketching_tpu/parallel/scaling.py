@@ -113,7 +113,9 @@ def ici_scaling_model(num_nodes: int = 200_000, avg_deg: int = 16,
                       ici_bytes_per_s: float = 4.5e10,
                       params: SketchParams = None,
                       weak: bool = False, graph: str = "random",
-                      seed: int = 0) -> Dict:
+                      seed: int = 0,
+                      method: str = "locality",
+                      shuffle_ids: bool = False) -> Dict:
     """Predicted multi-chip scaling of the node-sharded sketch build.
 
     The virtual CPU mesh cannot *measure* scaling — its "devices" all share
@@ -141,6 +143,14 @@ def ici_scaling_model(num_nodes: int = 200_000, avg_deg: int = 16,
     strong scaling of a fixed graph.  ``ici_bytes_per_s`` defaults to
     45 GB/s — one v5e ICI link direction (jax-ml.github.io/scaling-book);
     override for other topologies.
+
+    ``graph``: 'random' (zero locality — the worst case), 'ring' (pure
+    locality), or 'ws' (Watts–Strogatz ring + 5% rewiring — the synth-ws
+    family of the quality testbeds).  ``method`` selects the partitioner
+    ('locality' = RCM ordering, the production default; 'contiguous' =
+    round-2 id-order blocks).  ``shuffle_ids`` randomly relabels the nodes
+    first so id order carries no accidental locality — the honest setting
+    for judging the partitioner rather than the generator's id layout.
     """
     from subgraph_sketching_tpu.parallel.node_sharded import (
         make_node_partition,
@@ -154,18 +164,25 @@ def ici_scaling_model(num_nodes: int = 200_000, avg_deg: int = 16,
     def graph_for(d):
         n = num_nodes * d if weak else num_nodes
         e = n * avg_deg
-        if graph == "ring":
-            # WS-style locality: node ids order the ring, edges go to the
-            # avg_deg/2 nearest ids each way — the regime of a clustered /
-            # locality-ordered real graph (partition cut ~ O(D), not O(E))
+        if graph in ("ring", "ws"):
+            # ring: edges go to the avg_deg/2 nearest ids each way (pure
+            # locality); ws: the same ring with 5% of edges rewired to
+            # uniform targets — the synth-ws regime of the quality testbeds
             src = np.repeat(np.arange(n, dtype=np.int64), avg_deg // 2)
             off = np.tile(np.arange(1, avg_deg // 2 + 1, dtype=np.int64), n)
             dst = (src + off) % n
+            if graph == "ws":
+                rw = rng.random(len(dst)) < 0.05
+                dst[rw] = rng.integers(0, n, int(rw.sum()))
             ei = np.stack([np.concatenate([src, dst]),
                            np.concatenate([dst, src])])
-            return ei, n, ei.shape[1]
-        return np.stack([rng.integers(0, n, e, dtype=np.int64),
-                         rng.integers(0, n, e, dtype=np.int64)]), n, e
+        else:
+            ei = np.stack([rng.integers(0, n, e, dtype=np.int64),
+                           rng.integers(0, n, e, dtype=np.int64)])
+        if shuffle_ids:
+            relabel = rng.permutation(n).astype(np.int64)
+            ei = relabel[ei]
+        return ei, n, ei.shape[1]
 
     out = {}
     t1 = None
@@ -176,7 +193,7 @@ def ici_scaling_model(num_nodes: int = 200_000, avg_deg: int = 16,
             row = {"t_hop_ms": t_hop * 1e3, "halo_rows_per_dev": 0,
                    "comm_bound": False}
         else:
-            plan = make_node_partition(ei, n, d)
+            plan = make_node_partition(ei, n, d, method=method)
             t_local = plan.local_src.shape[1] / per_chip_edges_per_s
             t_halo_red = plan.halo_src.shape[1] / per_chip_edges_per_s
             halo_bytes = (d - 1) * plan.halo_width * row_bytes
@@ -199,6 +216,8 @@ def ici_scaling_model(num_nodes: int = 200_000, avg_deg: int = 16,
             "nodes": (f"{num_nodes}/device" if weak else num_nodes),
             "avg_deg": avg_deg,
             "graph": graph,
+            "partition_method": method,
+            "shuffle_ids": shuffle_ids,
             "note": ("analytic: real partition halo/edge volumes x measured "
                      "single-chip rate; CPU-mesh timings cannot measure "
                      "scaling (virtual devices share host cores)"),

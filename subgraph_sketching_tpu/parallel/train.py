@@ -164,7 +164,8 @@ def make_distributed_train_step(mesh: Mesh, params: SketchParams,
             from subgraph_sketching_tpu.parallel.node_sharded import (
                 node_sharded_subgraph_features,
             )
-            return node_sharded_subgraph_features(links, sk, params, mesh)
+            return node_sharded_subgraph_features(
+                links, sk, params, mesh, perm=node_partition.perm)
         if has_lane:
             return lane_sharded_subgraph_features(links, sk, params, mesh,
                                                   axis="lane")

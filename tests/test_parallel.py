@@ -53,33 +53,25 @@ def test_lane_sharded_matches_single_device(setup):
     np.testing.assert_allclose(sf, sf_ref, rtol=1e-6, atol=1e-4)
 
 
-def _padded_init(n, n_pad, params):
-    mh0, hll0 = initialise_sketches(n, params)
-    mh0 = np.concatenate(
-        [mh0, np.full((n_pad - n, mh0.shape[1]), np.uint32(0xFFFFFFFF))])
-    hll0 = np.concatenate(
-        [hll0, np.zeros((n_pad - n, hll0.shape[1]), np.int8)])
-    return mh0, hll0
-
-
-def test_node_sharded_build_matches_single_device(setup):
+@pytest.mark.parametrize("method", ["contiguous", "locality"])
+def test_node_sharded_build_matches_single_device(setup, method):
     """Memory-sharded (node-partitioned, halo-exchange) construction must be
     bit-exact with the single-device build AND hold only ~1/D of the table
-    per device."""
+    per device — for both the id-order and locality (RCM) partitioners."""
     from subgraph_sketching_tpu.parallel import (
         make_node_partition, node_sharded_build_hash_tables,
     )
     g, params, sk_ref, links = setup
     n = g.num_nodes
     mesh = make_mesh([8], ("graph",))
-    plan = make_node_partition(np.asarray(g.edge_index), n, 8)
-    mh0, hll0 = _padded_init(n, plan.padded_nodes, params)
+    plan = make_node_partition(np.asarray(g.edge_index), n, 8, method=method)
+    mh0, hll0 = plan.pad_init(*initialise_sketches(n, params))
     sk = node_sharded_build_hash_tables(plan, params, mesh, mh0, hll0)
-    np.testing.assert_array_equal(np.asarray(sk.minhash)[:, :n],
+    np.testing.assert_array_equal(plan.to_node_order(sk.minhash),
                                   np.asarray(sk_ref.minhash))
-    np.testing.assert_array_equal(np.asarray(sk.hll)[:, :n],
+    np.testing.assert_array_equal(plan.to_node_order(sk.hll),
                                   np.asarray(sk_ref.hll))
-    np.testing.assert_allclose(np.asarray(sk.cards)[:n],
+    np.testing.assert_allclose(plan.to_node_order(sk.cards),
                                np.asarray(sk_ref.cards), rtol=1e-5)
     # the memory-sharding claim: every per-device shard holds 1/8 of rows
     for arr in (sk.minhash, sk.hll):
@@ -88,7 +80,8 @@ def test_node_sharded_build_matches_single_device(setup):
             f"state not sharded: shard {shard.shape} of {arr.shape}"
 
 
-def test_node_sharded_features_match_single_device(setup):
+@pytest.mark.parametrize("method", ["contiguous", "locality"])
+def test_node_sharded_features_match_single_device(setup, method):
     from subgraph_sketching_tpu.parallel import (
         make_node_partition, node_sharded_build_hash_tables,
         node_sharded_subgraph_features,
@@ -96,11 +89,12 @@ def test_node_sharded_features_match_single_device(setup):
     g, params, sk_ref, links = setup
     n = g.num_nodes
     mesh = make_mesh([8], ("graph",))
-    plan = make_node_partition(np.asarray(g.edge_index), n, 8)
-    mh0, hll0 = _padded_init(n, plan.padded_nodes, params)
+    plan = make_node_partition(np.asarray(g.edge_index), n, 8, method=method)
+    mh0, hll0 = plan.pad_init(*initialise_sketches(n, params))
     sk = node_sharded_build_hash_tables(plan, params, mesh, mh0, hll0)
     sf_ref = np.asarray(subgraph_features(jnp.asarray(links), sk_ref, params))
-    sf = np.asarray(node_sharded_subgraph_features(links, sk, params, mesh))
+    sf = np.asarray(node_sharded_subgraph_features(links, sk, params, mesh,
+                                                   perm=plan.perm))
     np.testing.assert_allclose(sf, sf_ref, rtol=1e-6, atol=1e-4)
     # the hops-only stack format (hop 0 dropped, the citation2-scale HBM
     # saver accepted by sketch/elph._pairwise_intersections) must work here
@@ -109,8 +103,34 @@ def test_node_sharded_features_match_single_device(setup):
     sk_drop = Sketches(minhash=sk.minhash[1:], hll=sk.hll[1:],
                        cards=sk.cards)
     sf_drop = np.asarray(
-        node_sharded_subgraph_features(links, sk_drop, params, mesh))
+        node_sharded_subgraph_features(links, sk_drop, params, mesh,
+                                       perm=plan.perm))
     np.testing.assert_allclose(sf_drop, sf_ref, rtol=1e-6, atol=1e-4)
+
+
+def test_locality_partition_shrinks_halo():
+    """On a locality-structured graph (WS ring + a few rewires) the RCM
+    partitioner must cut the padded halo volume vs id-order blocks by >= 2x
+    (VERDICT r2 done-bar) — here node ids are SHUFFLED first so id-order
+    blocks carry no accidental locality."""
+    from subgraph_sketching_tpu.graph.synthetic import watts_strogatz_graph
+    from subgraph_sketching_tpu.parallel import make_node_partition
+    n = 512
+    ei = watts_strogatz_graph(n, 8, 0.05, seed=3)
+    # shuffle node ids: id order must carry no locality information
+    rng = np.random.default_rng(0)
+    relabel = rng.permutation(n).astype(np.int32)
+    ei = relabel[ei]
+    cont = make_node_partition(ei, n, 8, method="contiguous")
+    loc = make_node_partition(ei, n, 8, method="locality")
+    assert loc.halo_rows_per_dev * 2 <= cont.halo_rows_per_dev, (
+        f"locality halo {loc.halo_rows_per_dev} not >=2x below "
+        f"contiguous {cont.halo_rows_per_dev}")
+    # both plans reconstruct identical sketch tables (exercised above);
+    # here assert the plans cover every edge exactly once
+    for plan in (cont, loc):
+        assert int(plan.local_mask.sum() + plan.halo_mask.sum()) == \
+            ei.shape[1]
 
 
 def test_distributed_train_step_matches_single_device(setup):

@@ -49,16 +49,26 @@ def main():
         # Projected multi-chip efficiency from REAL partition geometry +
         # the measured single-chip rate (CPU-mesh wall clocks cannot
         # measure scaling; see ici_scaling_model docstring).  Random graph
-        # = zero-locality worst case; ring = locality-ordered best case
-        # (real citation graphs partitioned by cluster sit near the ring).
+        # = zero-locality worst case; ws = the synth-ws quality-testbed
+        # family (ring + 5% rewires) with SHUFFLED node ids, so id order
+        # carries no locality and the partitioner has to earn the halo cut.
         "ici_model": {
             "strong_random": ici_scaling_model(),
             "strong_ring": ici_scaling_model(graph="ring"),
+            "strong_ws_shuffled": ici_scaling_model(graph="ws",
+                                                    shuffle_ids=True),
+            # round-2 partitioner on the same graphs (the before/after for
+            # the locality partitioner; BASELINE criterion 4 bar = 0.80)
+            "strong_ws_shuffled_contiguous": ici_scaling_model(
+                graph="ws", shuffle_ids=True, method="contiguous"),
+            "strong_random_contiguous": ici_scaling_model(
+                method="contiguous"),
             "weak_random": ici_scaling_model(num_nodes=100_000, weak=True,
                                              device_counts=[1, 2, 4, 8]),
-            "weak_ring": ici_scaling_model(num_nodes=100_000, weak=True,
-                                           graph="ring",
-                                           device_counts=[1, 2, 4, 8]),
+            "weak_ws_shuffled": ici_scaling_model(num_nodes=100_000,
+                                                  weak=True, graph="ws",
+                                                  shuffle_ids=True,
+                                                  device_counts=[1, 2, 4, 8]),
         },
     }
     path = os.path.join(os.path.dirname(__file__), "..",
