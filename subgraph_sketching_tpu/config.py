@@ -133,6 +133,13 @@ class Config:
     max_gather_slots: int = 8 << 20
     mesh_shape: Optional[List[int]] = None  # e.g. [8] for 8-way data parallel
     mesh_axes: List[str] = field(default_factory=lambda: ["data"])
+    # memory-sharded ELPH training: sketch tables stay node-partitioned
+    # (1/D per device, locality partition + halo-exchange build) THROUGH
+    # training; per-batch subgraph features are psum-assembled from the
+    # shards inside the step.  Requires a "graph" mesh axis.  This is the
+    # citation2-scale configuration — the full sketch state never sits
+    # whole on one chip (parallel/node_sharded.py)
+    memory_sharded: bool = False
     checkpoint_dir: Optional[str] = None
     resume: bool = False  # restore the latest checkpoint from checkpoint_dir
     # persistent XLA compilation cache: repeat runs (and --resume restarts)
@@ -156,6 +163,11 @@ class Config:
         if self.dataset_name == "ogbl-ddi":
             # ddi has no node features (run.py:264-266)
             self.use_feature = False
+        if self.memory_sharded and (
+                not self.mesh_shape
+                or "graph" not in (self.mesh_axes or [])):
+            raise ValueError("--memory_sharded needs a 'graph' mesh axis "
+                             "(e.g. --mesh_shape 2,4 --mesh_axes data,graph)")
         if self.train_node_embedding and self.pretrained_node_embedding:
             # mutually exclusive table sources (reference select_embedding,
             # utils.py:56-60, silently prefers the trainable one)

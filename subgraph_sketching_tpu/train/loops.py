@@ -576,6 +576,12 @@ class ElphTrainer:
                            and "graph" in self.mesh.axis_names)
         self._has_lane = (self.mesh is not None
                           and "lane" in self.mesh.axis_names)
+        # memory-sharded mode: sketch state stays node-partitioned (1/D per
+        # device) through training; per-batch features are psum-assembled
+        # inside the step (parallel/node_sharded.py) — the citation2-scale
+        # configuration.  Only meaningful with struct features on.
+        self._memory_sharded = (cfg.memory_sharded and self._has_graph
+                                and cfg.use_struct_feature)
         self._data: Dict[str, Dict[str, jnp.ndarray]] = {}
         self.stage("train", dataset)
 
@@ -604,6 +610,8 @@ class ElphTrainer:
             # skip the sketch build entirely — zeros ARE the staged features
             sf = np.zeros((ds.links.shape[0], self.sketch_params.sf_dim),
                           np.float32)
+        elif self._memory_sharded:
+            sf = None  # extracted per batch inside the step, from shards
         else:
             sketches = ds.sketches
             if sketches is None:
@@ -639,9 +647,15 @@ class ElphTrainer:
         d = {
             "links": _replicate_on(self.mesh, jnp.asarray(ds.links)),
             "labels": _replicate_on(self.mesh, jnp.asarray(ds.labels)),
-            "sf": _replicate_on(self.mesh, jnp.asarray(sf)),
             "num_nodes": ds.num_nodes,
         }
+        if sf is not None:
+            d["sf"] = _replicate_on(self.mesh, jnp.asarray(sf))
+        else:
+            # memory-sharded: stage the 1/D node-partitioned sketch tables
+            # (built once per distinct message graph) + the locality perm;
+            # they ride as jit args into the epoch scan and eval scorer
+            d.update(self._stage_memory_sharded(split, ds))
         if self._has_graph:
             from jax.sharding import NamedSharding, PartitionSpec as P
             d["edge_index"] = jax.device_put(
@@ -720,6 +734,53 @@ class ElphTrainer:
         self._num_pos = getattr(self, "_num_pos", {})
         self._num_pos[split] = int(np.asarray(ds.labels).sum())
 
+    def _stage_memory_sharded(self, split: str, ds: LinkDataset):
+        """Build (or reuse) the node-partitioned sketch tables for this
+        split's message graph: 1/D rows per device, locality partition,
+        halo-exchange construction.  Returns the staged entries — the
+        sharded tables + the id->row perm — that ride as jit args into the
+        epoch scan and the eval scorer."""
+        from subgraph_sketching_tpu.parallel.node_sharded import (
+            make_node_partition, node_sharded_build_hash_tables,
+        )
+        from subgraph_sketching_tpu.sketch.elph import initialise_sketches
+        keys = ("sk_minhash", "sk_hll", "sk_cards", "sk_perm")
+        self._ms_graphs = getattr(self, "_ms_graphs", {})
+        self._ms_graphs.pop(split, None)  # re-staging must not self-match
+        # sketches depend only on the message graph; eval splits normally
+        # share the train graph — reuse its tables (same dedupe the
+        # preprocessing path does via LinkDataset.sketches)
+        reuse = next(
+            (s for s, (e, n) in self._ms_graphs.items()
+             if n == ds.num_nodes and e.shape == ds.edge_index.shape
+             and np.array_equal(e, ds.edge_index)), None)
+        if reuse is not None:
+            self._ms_graphs[split] = self._ms_graphs[reuse]
+            return {k: self._data[reuse][k] for k in keys}
+        D = self.mesh.shape["graph"]
+        part = make_node_partition(ds.edge_index, ds.num_nodes, D)
+        mh0, hll0 = part.pad_init(
+            *initialise_sketches(ds.num_nodes, self.sketch_params))
+        sk = node_sharded_build_hash_tables(part, self.sketch_params,
+                                            self.mesh, mh0, hll0)
+        self._ms_graphs[split] = (ds.edge_index, ds.num_nodes)
+        return {"sk_minhash": sk.minhash, "sk_hll": sk.hll,
+                "sk_cards": sk.cards,
+                "sk_perm": _replicate_on(self.mesh, jnp.asarray(part.perm))}
+
+    def _ms_features(self, data, links):
+        """Per-batch subgraph features psum-assembled from the 1/D-sharded
+        tables (parallel/node_sharded.py); identical values to the
+        single-device subgraph_features path."""
+        from subgraph_sketching_tpu.parallel.node_sharded import (
+            node_sharded_subgraph_features,
+        )
+        from subgraph_sketching_tpu.sketch.params import Sketches
+        sk = Sketches(minhash=data["sk_minhash"], hll=data["sk_hll"],
+                      cards=data["sk_cards"])
+        return node_sharded_subgraph_features(
+            links, sk, self.sketch_params, self.mesh, perm=data["sk_perm"])
+
     def _node_feats(self, params, batch_stats, data, training,
                     dropout_rng=None, plan=None):
         variables = {"params": params, "batch_stats": batch_stats}
@@ -751,7 +812,8 @@ class ElphTrainer:
                                   edge_weight=data["edge_weight"],
                                   mask=data.get("mask"), training=False)
         links0 = data["links"][:2]
-        sf0 = data["sf"][:2]
+        sf0 = (data["sf"][:2] if "sf" in data
+               else jnp.zeros((2, self.sketch_params.sf_dim), jnp.float32))
         nf0 = feats[links0] if feats is not None else None
         emb0 = None
         emb_vars = {}
@@ -818,7 +880,11 @@ class ElphTrainer:
                 key, k1, k2, k3 = jax.random.split(key, 4)
                 safe = jnp.maximum(idx, 0)
                 links_b = data["links"][safe]
-                sf_b = data["sf"][safe]
+                # memory-sharded: features come from the 1/D sketch shards
+                # per batch (gradient-free, like the staged sf)
+                sf_b = (jax.lax.stop_gradient(
+                            self._ms_features(data, links_b))
+                        if self._memory_sharded else data["sf"][safe])
                 labels_b = data["labels"][safe]
                 mask = idx >= 0
 
@@ -911,9 +977,13 @@ class ElphTrainer:
 
         if not hasattr(self, "_score_jit"):
             # state/feats are traced args so eval compiles once, not per
-            # split per epoch
+            # split per epoch.  Memory-sharded: the per-batch features are
+            # assembled from the 1/D sketch shards inside the jit (sk_args
+            # is the staged shard pytree; an empty dict otherwise).
             def _score(params, batch_stats, feats_, emb_table_, links_b,
-                       sf_b):
+                       sf_b, sk_args):
+                if self._memory_sharded:
+                    sf_b = self._ms_features(sk_args, links_b)
                 nf = feats_[links_b] if feats_ is not None else None
                 emb_b = (emb_table_[links_b]
                          if emb_table_ is not None else None)
@@ -923,11 +993,18 @@ class ElphTrainer:
                                             training=False).ravel()
             self._score_jit = jax.jit(_score)
 
+        sk_args = ({k: data[k]
+                    for k in ("sk_minhash", "sk_hll", "sk_cards", "sk_perm")}
+                   if self._memory_sharded and "sk_minhash" in data else {})
+
         def score(idx):
             j = jnp.asarray(idx)
+            sf_b = (data["sf"][j] if "sf" in data
+                    else jnp.zeros((len(idx), self.sketch_params.sf_dim),
+                                   jnp.float32))
             return self._score_jit(state.params, state.batch_stats, feats,
-                                   emb_table, data["links"][j],
-                                   data["sf"][j])
+                                   emb_table, data["links"][j], sf_b,
+                                   sk_args)
 
         pred = batched_predict(score, sel, self.cfg.eval_batch_size)
         labels = np.asarray(data["labels"])[sel]

@@ -290,6 +290,78 @@ def test_elph_trainer_three_axis_mesh(setup):
             assert abs(a - b) < 1e-4, losses
 
 
+def test_elph_trainer_memory_sharded_cli_path(setup):
+    """--memory_sharded through the PRODUCTION ElphTrainer: the sketch
+    tables stay node-partitioned (1/D rows per device) through training,
+    per-batch features are psum-assembled inside the epoch scan, and the
+    loss trajectory + eval predictions equal the single-device run's."""
+    from subgraph_sketching_tpu.config import Config
+    from subgraph_sketching_tpu.graph.splits import random_link_split
+    from subgraph_sketching_tpu.graph.preprocess import build_link_dataset
+    from subgraph_sketching_tpu.train.loops import ElphTrainer
+    g, params, sk_ref, links = setup
+    g2 = Graph(g.edge_index, g.num_nodes,
+               x=np.random.default_rng(1).random((64, 8), dtype=np.float32))
+    runs = {}
+    for mesh_shape, axes, ms in ((None, ["data"], False),
+                                 ([2, 4], ["data", "graph"], True)):
+        cfg = Config(dataset_name="synth-ba", model="ELPH", hidden_channels=8,
+                     batch_size=64, eval_batch_size=64, K=10,
+                     label_dropout=0.0, feature_dropout=0.0,
+                     mesh_shape=mesh_shape, mesh_axes=axes,
+                     memory_sharded=ms)
+        splits = random_link_split(g2, 0.1, 0.2, seed=0)
+        ds = build_link_dataset(splits["train"], cfg, "train")
+        trainer = ElphTrainer(cfg, ds, params, 8)
+        if ms:
+            # the memory-sharding claim: 1/D of the table rows per device
+            arr = trainer._data["train"]["sk_minhash"]
+            shard = arr.addressable_shards[0].data
+            assert np.prod(shard.shape) == np.prod(arr.shape) // 4, \
+                f"sketch state not sharded: {shard.shape} of {arr.shape}"
+            # eval splits sharing the train graph reuse its tables
+            trainer.stage("valid", build_link_dataset(
+                splits["valid"], cfg, "valid", reuse_from=ds))
+            assert (trainer._data["valid"]["sk_minhash"]
+                    is trainer._data["train"]["sk_minhash"])
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        state, l1 = trainer.train_epoch(state, np.random.default_rng(0),
+                                        jax.random.PRNGKey(0))
+        state, l2 = trainer.train_epoch(state, np.random.default_rng(1),
+                                        jax.random.PRNGKey(1))
+        pred, labels = trainer.predict(state, "train")
+        runs[ms] = (l1, l2, np.asarray(pred))
+    assert np.isfinite(runs[True][0]) and np.isfinite(runs[True][1])
+    assert abs(runs[True][0] - runs[False][0]) < 1e-4
+    assert abs(runs[True][1] - runs[False][1]) < 1e-4
+    # logits after TWO epochs of Adam: f32 reduction-order noise (psum
+    # feature assembly + GSPMD SpMM) is amplified ~lr-scale into the
+    # parameters, so per-logit tolerance is looser than the loss check
+    np.testing.assert_allclose(runs[True][2], runs[False][2],
+                               rtol=1e-3, atol=2e-3)
+
+
+def test_memory_sharded_runner_end_to_end(setup, tmp_path):
+    """The full production CLI with --memory_sharded --mesh_shape 2,4:
+    main() parses the flags, trains, and evaluates."""
+    from subgraph_sketching_tpu.runners.run import main
+    results = main(["--dataset_name", "synth-ba", "--model", "ELPH",
+                    "--hidden_channels", "8", "--batch_size", "64",
+                    "--eval_batch_size", "64", "--K", "10",
+                    "--epochs", "2", "--mesh_shape", "2,4",
+                    "--mesh_axes", "data,graph", "--memory_sharded", "1"])
+    assert len(results) == 1
+    assert all(np.isfinite(v) for v in results[0])
+
+
+def test_memory_sharded_config_validation():
+    from subgraph_sketching_tpu.config import Config
+    with pytest.raises(ValueError):
+        Config(memory_sharded=True)  # no graph mesh axis
+    with pytest.raises(ValueError):
+        Config(memory_sharded=True, mesh_axes=["data", "graph"])  # no shape
+
+
 def test_buddy_preprocessing_memory_sharded(setup):
     """BUDDY preprocessing with a graph mesh axis: node-sharded sketch build
     + psum-assembled features must reproduce the single-device subgraph
