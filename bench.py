@@ -38,7 +38,14 @@ def bench_tpu(src, dst, mh, hll):
     trivial program.  Under the remote-TPU relay, ``block_until_ready``
     timing absorbs a ~30ms dispatch/sync roundtrip per sample (and for some
     programs returns early), so device-side timing alone is untrustworthy;
-    the host-read-net methodology is robust to both failure modes."""
+    the host-read-net methodology is robust to both failure modes.
+
+    Besides edges/s it reports two relay/host-independent stability
+    figures: ``hop_vs_gather_bound`` — the hop's time as a fraction of its
+    own measured two-row-gathers-alone bound (the minimal HBM traffic ANY
+    hop implementation must pay; both programs ride the same relay in the
+    same process, so the ratio cancels relay and host-load noise) — and
+    ``iter_spread`` = (max-min)/min over the hop samples."""
     import jax
     import jax.numpy as jnp
 
@@ -46,6 +53,8 @@ def bench_tpu(src, dst, mh, hll):
 
     plan = make_plan(np.stack([src, dst]), NUM_NODES)
     mhj, hllj = jnp.asarray(mh), jnp.asarray(hll)
+    gidx = plan.gather_idx
+    IDENT = jnp.uint32(0xFFFFFFFF)
 
     @jax.jit
     def trivial(mh):
@@ -58,6 +67,17 @@ def bench_tpu(src, dst, mh, hll):
         return a.sum(dtype=jnp.uint32).astype(jnp.float32) + \
             b.sum(dtype=jnp.int32).astype(jnp.float32)
 
+    @jax.jit
+    def gathers_only(mh, hll):
+        # the roofline program: exactly the two row gathers the hop must
+        # perform, nothing else (tools/probe_oneshot.py g_both)
+        rows = jnp.concatenate(
+            [mh, jnp.full((1, mh.shape[1]), IDENT, jnp.uint32)], axis=0)
+        hrows = jnp.concatenate(
+            [hll, jnp.zeros((1, hll.shape[1]), jnp.int8)], axis=0)
+        return (rows[gidx].sum(dtype=jnp.uint32).astype(jnp.float32)
+                + hrows[gidx].astype(jnp.int32).sum().astype(jnp.float32))
+
     def timed(fn, *args):
         for _ in range(WARMUP):
             float(fn(*args))
@@ -66,12 +86,14 @@ def bench_tpu(src, dst, mh, hll):
             t0 = time.perf_counter()
             float(fn(*args))
             ts.append(time.perf_counter() - t0)
-        return min(ts)
+        return min(ts), (max(ts) - min(ts)) / min(ts)
 
-    t_trivial = timed(trivial, mhj)
-    t_hop = timed(one_hop_scalar, mhj, hllj)
+    t_trivial, _ = timed(trivial, mhj)
+    t_hop, spread = timed(one_hop_scalar, mhj, hllj)
+    t_gather, _ = timed(gathers_only, mhj, hllj)
     net = max(t_hop - t_trivial, 1e-9)
-    return len(src) / net
+    net_gather = max(t_gather - t_trivial, 1e-9)
+    return len(src) / net, net_gather / net, spread
 
 
 def bench_torch_cpu(src, dst, mh, hll):
@@ -101,7 +123,7 @@ def bench_torch_cpu(src, dst, mh, hll):
 
 
 def _tpu_child():
-    """Run the TPU measurement and print ONE float (edges/s) on stdout.
+    """Run the TPU measurement and print ONE json line on stdout.
     Executed in a subprocess so the parent can enforce a deadline — the
     remote relay sometimes HANGS (jax.devices() never returns) rather than
     failing fast, and a hang cannot be caught with try/except."""
@@ -109,7 +131,9 @@ def _tpu_child():
     src, dst = make_graph(rng)
     mh = rng.integers(0, 2 ** 32 - 1, (NUM_NODES, NUM_PERM), dtype=np.uint32)
     hll = rng.integers(0, 56, (NUM_NODES, 1 << HLL_P)).astype(np.int8)
-    print(bench_tpu(src, dst, mh, hll), flush=True)
+    eps, bound_ratio, spread = bench_tpu(src, dst, mh, hll)
+    print(json.dumps({"eps": eps, "hop_vs_gather_bound": bound_ratio,
+                      "iter_spread": spread}), flush=True)
 
 
 def _measure_tpu_with_deadline(attempts=3, deadline_s=None, retry_sleep=90):
@@ -129,14 +153,14 @@ def _measure_tpu_with_deadline(attempts=3, deadline_s=None, retry_sleep=90):
                 [sys.executable, __file__, "--tpu-child"],
                 capture_output=True, text=True, timeout=deadline_s)
             if out.returncode == 0 and out.stdout.strip():
-                return float(out.stdout.strip().splitlines()[-1])
+                return json.loads(out.stdout.strip().splitlines()[-1])
             # stderr only: stdout stays the single JSON line (driver contract)
             print(f"# TPU attempt {attempt + 1} failed (rc={out.returncode}):"
                   f" {out.stderr.strip()[-300:]}", file=sys.stderr, flush=True)
         except subprocess.TimeoutExpired:
             print(f"# TPU attempt {attempt + 1} hit the {deadline_s}s "
                   f"deadline (relay hang)", file=sys.stderr, flush=True)
-        except ValueError as e:
+        except (ValueError, json.JSONDecodeError) as e:
             print(f"# TPU attempt {attempt + 1} bad output: {e}",
                   file=sys.stderr, flush=True)
         if attempt < attempts - 1:
@@ -151,15 +175,21 @@ def main():
                       dtype=np.uint32)
     hll = rng.integers(0, 56, (NUM_NODES, 1 << HLL_P)).astype(np.int8)
 
-    tpu_eps = _measure_tpu_with_deadline()
-    if tpu_eps is None:
+    res = _measure_tpu_with_deadline()
+    if res is None:
         raise SystemExit("TPU backend unavailable after 3 attempts")
     base_eps = bench_torch_cpu(src, dst, mh, hll)
     print(json.dumps({
         "metric": "sketch_propagation_throughput",
-        "value": round(tpu_eps),
+        "value": round(res["eps"]),
         "unit": "edges/s",
-        "vs_baseline": round(tpu_eps / base_eps, 3),
+        "vs_baseline": round(res["eps"] / base_eps, 3),
+        # relay- and host-load-independent stability figures: the hop as a
+        # fraction of its own measured two-gathers-alone HBM bound (both
+        # sides ride the same relay, so dispatch noise cancels), and the
+        # sample spread of the hop timings
+        "hop_vs_gather_bound": round(res["hop_vs_gather_bound"], 3),
+        "iter_spread": round(res["iter_spread"], 3),
     }))
 
 

@@ -258,6 +258,11 @@ def make_parser() -> argparse.ArgumentParser:
             parser.add_argument(name, type=float, default=default)
         elif isinstance(default, int):
             parser.add_argument(name, type=int, default=default)
+        elif default is None and "int" in str(f.type):
+            # Optional[int] fields (max_nodes_per_hop, sample_size): the
+            # string fallback silently produced '50' instead of 50 and
+            # crashed the native SEAL extractor downstream
+            parser.add_argument(name, type=int, default=None)
         else:
             parser.add_argument(name, type=str, default=default)
     return parser

@@ -90,3 +90,16 @@ def test_heuristics_runner_reference_flags(tmp_path):
     lines = [json.loads(l) for l in
              open(os.path.join(run_dir, "metrics.jsonl"))]
     assert any("CN_test_mean" in rec for rec in lines)
+
+
+def test_optional_int_flags_parse_as_int():
+    """--max_nodes_per_hop 50 must parse to int(50), not '50' (the string
+    fallback for Optional[int] fields crashed the native SEAL extractor)."""
+    from subgraph_sketching_tpu.runners.run import make_parser
+    args = make_parser().parse_args(
+        ["--max_nodes_per_hop", "50", "--sample_size", "7"])
+    assert args.max_nodes_per_hop == 50
+    assert args.sample_size == 7
+    defaults = make_parser().parse_args([])
+    assert defaults.max_nodes_per_hop is None
+    assert defaults.sample_size is None

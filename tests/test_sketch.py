@@ -241,3 +241,61 @@ def test_padded_edges_equal_unpadded(ba_graph):
     sk = build_hash_tables(jnp.asarray(ba_graph), 30, params)
     np.testing.assert_array_equal(np.asarray(sk_pad.minhash), np.asarray(sk.minhash))
     np.testing.assert_array_equal(np.asarray(sk_pad.hll), np.asarray(sk.hll))
+
+
+def test_hll_regenerated_table_error_bound():
+    """Bound the HLL++ bias-table Monte-Carlo approximation (VERDICT r2 #5).
+
+    The reference reads datasketch's vendored Google tables
+    (hashing.py:69-81); ours are regenerated by simulation
+    (tools/gen_hll_tables.py).  Two INDEPENDENT 10x-trial regenerations
+    (40k trials, seeds 111/222; committed goldens) bound the induced
+    subgraph-feature delta — that spread is the ceiling on our deviation
+    from the infinite-trials limit datasketch's tables also estimate.
+    Measured: max |delta| ~2.3 counts on cardinalities spanning [4, 1964]
+    (0.15% relative), mean ~0.05; asserted here with ~2x headroom.  The
+    production table (1x trials) sits within the same envelope vs the 10x
+    table.  Per-entry standard errors ride in the npz (bias_se_p8).
+    """
+    import os
+    import jax
+    from subgraph_sketching_tpu.sketch import hll as hllmod
+
+    gold = os.path.join(os.path.dirname(__file__), "goldens")
+    paths = {
+        "A": os.path.join(gold, "hll_p8_10x_seedA.npz"),
+        "B": os.path.join(gold, "hll_p8_10x_seedB.npz"),
+        "prod": hllmod._TABLES_PATH,
+    }
+    n = 2000
+    ei = barabasi_albert_graph(n, 8, seed=2)
+    params = SketchParams(max_hops=2)
+    rng = np.random.default_rng(0)
+    links = np.stack([rng.integers(0, n, 256),
+                      rng.integers(0, n, 256)], 1).astype(np.int32)
+    orig = hllmod._TABLES_PATH
+
+    def clear():
+        hllmod._load_tables.cache_clear()
+        hllmod._bias_step_tables.cache_clear()
+        hllmod._bias_grid_tables.cache_clear()
+        jax.clear_caches()  # jitted traces bake the tables in as constants
+
+    try:
+        out = {}
+        for name, path in paths.items():
+            hllmod._TABLES_PATH = path
+            clear()
+            sk = build_hash_tables(jnp.asarray(ei), n, params)
+            out[name] = np.asarray(
+                subgraph_features(jnp.asarray(links), sk, params))
+        # per-entry MC standard error is recorded alongside the tables
+        with np.load(paths["A"]) as z:
+            assert "bias_se_p8" in z and z["bias_se_p8"].max() < 1.0
+    finally:
+        hllmod._TABLES_PATH = orig
+        clear()
+    for a, b in (("A", "B"), ("prod", "A")):
+        d = np.abs(out[a] - out[b])
+        assert d.max() < 5.0, (a, b, d.max())
+        assert d.mean() < 0.2, (a, b, d.mean())

@@ -54,9 +54,9 @@ def bit_length_u64(x: np.ndarray) -> np.ndarray:
     return np.where(hi > 0, 32 + bl32(hi), bl32(lo))
 
 
-def gen_for_p(p: int, rng: np.random.Generator):
+def gen_for_p(p: int, rng: np.random.Generator, scale: int = 1):
     m = 1 << p
-    trials = TRIALS[p]
+    trials = TRIALS[p] * scale
     max_rank = 64 - p
     cards = np.unique(np.round(np.linspace(max(1, m // 8), 5.5 * m, GRID_POINTS))
                       .astype(np.int64))
@@ -67,6 +67,7 @@ def gen_for_p(p: int, rng: np.random.Generator):
     regs = np.zeros((trials, m), dtype=np.int8)
     raw_means = np.zeros(len(cards))
     biases = np.zeros(len(cards))
+    bias_se = np.zeros(len(cards))
     trial_idx = np.arange(trials)
 
     prev = 0
@@ -83,20 +84,39 @@ def gen_for_p(p: int, rng: np.random.Generator):
         raw = alpha(m) * m * m / pow2[regs.astype(np.int64)].sum(axis=1)
         raw_means[gi] = raw.mean()
         biases[gi] = (raw - c).mean()
-    return raw_means.astype(np.float32), biases.astype(np.float32)
+        # per-grid-point Monte-Carlo standard error of the mean bias —
+        # the error bar on this table entry vs the infinite-trials limit
+        # (datasketch's tables are a draw from the same estimator)
+        bias_se[gi] = raw.std() / np.sqrt(trials)
+    return (raw_means.astype(np.float32), biases.astype(np.float32),
+            bias_se.astype(np.float32))
 
 
-def main():
+def main(argv=None):
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only-p", type=int, default=None,
+                    help="generate a single precision instead of all")
+    ap.add_argument("--scale", type=int, default=1,
+                    help="multiply the per-p trial budget (SE ~ 1/sqrt)")
+    ap.add_argument("--seed", type=int, default=20260816,
+                    help="base seed (per-p seed = seed + p)")
+    ap.add_argument("--out", default=OUT)
+    args = ap.parse_args(argv)
     out = {}
-    for p in sorted(TRIALS):
-        rng = np.random.default_rng(20260816 + p)
-        raw, bias = gen_for_p(p, rng)
+    ps = [args.only_p] if args.only_p else sorted(TRIALS)
+    for p in ps:
+        rng = np.random.default_rng(args.seed + p)
+        raw, bias, se = gen_for_p(p, rng, scale=args.scale)
         out[f"raw_estimate_p{p}"] = raw
         out[f"bias_p{p}"] = bias
+        out[f"bias_se_p{p}"] = se
         print(f"p={p}: grid {len(raw)} entries, raw [{raw[0]:.1f}, {raw[-1]:.1f}], "
-              f"bias [{bias.min():.1f}, {bias.max():.1f}]")
-    np.savez_compressed(os.path.abspath(OUT), **out)
-    print(f"wrote {os.path.abspath(OUT)}")
+              f"bias [{bias.min():.1f}, {bias.max():.1f}], "
+              f"bias SE [{se.min():.3f}, {se.max():.3f}] "
+              f"({TRIALS[p] * args.scale} trials)")
+    np.savez_compressed(os.path.abspath(args.out), **out)
+    print(f"wrote {os.path.abspath(args.out)}")
 
 
 if __name__ == "__main__":
