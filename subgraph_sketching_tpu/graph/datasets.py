@@ -139,10 +139,102 @@ def load_planetoid(name: str, root: str) -> Graph:
 
 # --------------------------------------------------------------------- ogb --
 
+# dataset metadata the ogb package reads from its bundled master.csv
+# (ogb/linkproppred/master.csv): the split directory name, and whether the
+# raw edge list is undirected (stored one direction, loader adds the
+# inverse).  Needed by the package-free raw-layout parser below.
+_OGB_META = {
+    "ogbl-collab": {"split": "time", "add_inverse_edge": True},
+    "ogbl-ppa": {"split": "throughput", "add_inverse_edge": True},
+    "ogbl-ddi": {"split": "target", "add_inverse_edge": True},
+    "ogbl-citation2": {"split": "time", "add_inverse_edge": False},
+}
+
+
+def _read_csv_gz(path: str, dtype) -> np.ndarray:
+    import pandas as pd
+    return pd.read_csv(path, compression="gzip", header=None).values.astype(
+        dtype)
+
+
+def _numpyify(obj):
+    """torch tensors -> numpy, recursively (split .pt files store tensors)."""
+    try:
+        import torch
+        if isinstance(obj, torch.Tensor):
+            return obj.numpy()
+    except ImportError:
+        pass
+    if isinstance(obj, dict):
+        return {k: _numpyify(v) for k, v in obj.items()}
+    return obj
+
+
+def ogb_raw_dir(name: str, root: str) -> str:
+    return os.path.join(root, name.replace("-", "_"))
+
+
+def load_ogb_raw(name: str, root: str):
+    """Parse the standard OGB on-disk layout directly — no ogb package.
+
+    Reads what ``LinkPropPredDataset`` reads (ogb/io/read_graph_raw.py +
+    ogb/linkproppred/dataset.py):
+
+      <root>/<name with - as _>/
+        raw/edge.csv.gz            [E, 2] int, one direction for
+                                   undirected datasets (inverse added here
+                                   per master.csv add_inverse_edge)
+        raw/num-node-list.csv.gz   [1] int
+        raw/node-feat.csv.gz       [N, F] float (absent for ddi)
+        raw/edge_weight.csv.gz     [E, 1] (collab)
+        raw/edge_year.csv.gz       [E, 1] (collab)
+        split/<split-name>/{train,valid,test}.pt   torch.save'd dicts
+
+    Returns ``(data, split_edge)`` shaped exactly like
+    ``(LinkPropPredDataset[0], .get_edge_split())`` so the downstream
+    pipeline is identical whichever loader ran.
+    """
+    if name not in _OGB_META:
+        raise ValueError(f"unknown ogb dataset {name}")
+    meta = _OGB_META[name]
+    base = ogb_raw_dir(name, root)
+    raw = os.path.join(base, "raw")
+    edge_path = os.path.join(raw, "edge.csv.gz")
+    if not os.path.exists(edge_path):
+        raise FileNotFoundError(edge_path)
+    edges = _read_csv_gz(edge_path, np.int64)            # [E, 2]
+    num_nodes = int(_read_csv_gz(
+        os.path.join(raw, "num-node-list.csv.gz"), np.int64)[0, 0])
+    data = {"num_nodes": num_nodes, "node_feat": None, "edge_feat": None}
+    feat_path = os.path.join(raw, "node-feat.csv.gz")
+    if os.path.exists(feat_path):
+        data["node_feat"] = _read_csv_gz(feat_path, np.float32)
+    # additional per-edge files (collab: edge_weight, edge_year)
+    extra = {}
+    for fn in sorted(os.listdir(raw)):
+        if fn.startswith("edge_") and fn.endswith(".csv.gz"):
+            extra[fn[:-len(".csv.gz")]] = _read_csv_gz(
+                os.path.join(raw, fn), np.int64)
+    ei = edges.T                                          # [2, E]
+    if meta["add_inverse_edge"]:
+        ei = np.concatenate([ei, ei[::-1]], axis=1)
+        extra = {k: np.concatenate([v, v]) for k, v in extra.items()}
+    data["edge_index"] = ei
+    data.update(extra)
+    import torch
+    split_edge = {}
+    for split in ("train", "valid", "test"):
+        pt = os.path.join(base, "split", meta["split"], f"{split}.pt")
+        split_edge[split] = _numpyify(
+            torch.load(pt, map_location="cpu", weights_only=False))
+    return data, split_edge
+
+
 def load_ogb(name: str, cfg: Config, root: str
              ) -> Tuple[Dict[str, SplitData], bool, str]:
-    """OGB linkprop datasets through the ogb package (requires it installed
-    and the dataset already downloaded — no egress here).
+    """OGB linkprop datasets: through the ogb package when installed, else
+    the package-free raw-layout parser (``load_ogb_raw``) — either way the
+    dataset files must already be on disk (no egress here).
 
     Mirrors reference get_ogb_data (src/data.py:144-238): per-split
     supervision edges from the official split, train negatives sampled
@@ -150,15 +242,19 @@ def load_ogb(name: str, cfg: Config, root: str
     """
     try:
         from ogb.linkproppred import LinkPropPredDataset
-    except ImportError as e:
-        raise ImportError(
-            "ogb is not installed in this environment; ogbl-* datasets are "
-            "unavailable (no network egress). Use Planetoid-from-disk or "
-            "synth-* datasets.") from e
-
-    dataset = LinkPropPredDataset(name=name, root=root)
-    split_edge = dataset.get_edge_split()
-    data = dataset[0]
+        dataset = LinkPropPredDataset(name=name, root=root)
+        split_edge = dataset.get_edge_split()
+        data = dataset[0]
+    except ImportError:
+        try:
+            data, split_edge = load_ogb_raw(name, root)
+        except FileNotFoundError as e:
+            raise FileNotFoundError(
+                f"ogb is not installed and the raw {name} layout was not "
+                f"found ({e}).  Place the extracted OGB dataset at "
+                f"{ogb_raw_dir(name, root)}/ (raw/*.csv.gz + split/), e.g. "
+                f"by downloading it with the ogb package on a machine with "
+                f"network access and copying the directory.") from e
     num_nodes = int(data["num_nodes"])
     x = None if data.get("node_feat") is None else np.asarray(
         data["node_feat"], dtype=np.float32)
