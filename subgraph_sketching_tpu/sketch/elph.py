@@ -280,22 +280,33 @@ def subgraph_features_batched(links, sk: Sketches, params: SketchParams,
     n = links.shape[0]
     bucket = 1 << max(8, (max(1, min(n, batch_size)) - 1).bit_length())
     bucket = min(bucket, batch_size)
-    fn = _subgraph_features_jit  # module-level: sketches are traced args,
-    out = []                     # so splits/datasets share compilations
-    # dispatch every batch before materialising any result: batches overlap
-    # in the device queue instead of paying a host sync per batch
-    for s in range(0, n, bucket):
-        chunk = jnp.asarray(links[s:s + bucket])
-        pad = bucket - chunk.shape[0]
+    if n <= bucket:
+        chunk = jnp.asarray(links)
+        pad = bucket - n
         if pad:
             chunk = jnp.concatenate([chunk,
                                      jnp.zeros((pad, 2), dtype=chunk.dtype)])
-        res = fn(chunk, sk, params)
-        out.append(res[:bucket - pad] if pad else res)
-    return jnp.concatenate(out, axis=0)[:n] if len(out) > 1 else out[0][:n]
+        return _subgraph_features_jit(chunk, sk, params)[:n]
+    # multi-chunk: ONE jitted lax.map over [C, bucket, 2] instead of a
+    # python loop of per-chunk dispatches — measured 10.5M vs 6.2M links/s
+    # at citation2 scale (2.93M nodes, tools/probe_feat_dispatch.py): the
+    # async loop pipelines dispatch fine, but XLA schedules and allocates
+    # the whole pass better inside one program
+    C = -(-n // bucket)
+    lnk = np.zeros((C * bucket, 2), dtype=np.asarray(links).dtype)
+    lnk[:n] = np.asarray(links)
+    out = _subgraph_features_map_jit(jnp.asarray(lnk.reshape(C, bucket, 2)),
+                                     sk, params)
+    return out.reshape(C * bucket, -1)[:n]
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
 def _subgraph_features_jit(links: jnp.ndarray, sk: Sketches,
                            params: SketchParams) -> jnp.ndarray:
     return subgraph_features(links, sk, params)
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def _subgraph_features_map_jit(links3: jnp.ndarray, sk: Sketches,
+                               params: SketchParams) -> jnp.ndarray:
+    return jax.lax.map(lambda l: subgraph_features(l, sk, params), links3)

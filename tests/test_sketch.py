@@ -299,3 +299,21 @@ def test_hll_regenerated_table_error_bound():
         d = np.abs(out[a] - out[b])
         assert d.max() < 5.0, (a, b, d.max())
         assert d.mean() < 0.2, (a, b, d.mean())
+
+
+def test_subgraph_features_batched_multi_chunk_map():
+    """The multi-chunk path (one lax.map dispatch) must equal the direct
+    single-program features, including the padded tail chunk."""
+    from subgraph_sketching_tpu.sketch.elph import subgraph_features_batched
+    n = 500
+    ei = barabasi_albert_graph(n, 6, seed=4)
+    params = SketchParams(max_hops=2)
+    sk = build_hash_tables(jnp.asarray(ei), n, params)
+    rng = np.random.default_rng(1)
+    links = np.stack([rng.integers(0, n, 700),
+                      rng.integers(0, n, 700)], 1).astype(np.int32)
+    direct = np.asarray(subgraph_features(jnp.asarray(links), sk, params))
+    # batch_size=256 -> 3 chunks with a padded tail
+    chunked = np.asarray(subgraph_features_batched(links, sk, params,
+                                                   batch_size=256))
+    np.testing.assert_allclose(chunked, direct, rtol=1e-6, atol=1e-5)

@@ -185,12 +185,16 @@ log(f"sketch build (incl. compile): {time.perf_counter()-t0:.1f}s, "
 
 # ---- 4. subgraph features for every link --------------------------------
 feats = jax.jit(lambda l, s: subgraph_features(l, s, params))
+# ONE lax.map dispatch for the whole pass: 10.5M vs 6.2M links/s with the
+# per-chunk python loop at this scale (tools/probe_feat_dispatch.py) — XLA
+# schedules/allocates the pass better inside a single program
+feats_map = jax.jit(lambda l3, s: jax.lax.map(
+    lambda l: subgraph_features(l, s, params), l3))
 
 
 def feats_all(lnk):
-    """Features for a BF-padded link array, in compile-cached BF chunks."""
-    return jnp.concatenate([feats(lnk[s0:s0 + BF], sk)
-                            for s0 in range(0, lnk.shape[0], BF)])
+    """Features for a BF-padded link array — one jitted lax.map."""
+    return feats_map(lnk.reshape(-1, BF, 2), sk).reshape(lnk.shape[0], -1)
 
 
 t0 = time.perf_counter()

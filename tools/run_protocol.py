@@ -22,6 +22,11 @@ CONFIGS = {
     "seal-dgcnn-synth-ba": dict(dataset_name="synth-ba", model="SEALDGCNN",
                                 epochs=5, K=50, num_hops=1,
                                 max_nodes_per_hop=20),
+    # SAME dataset as the BUDDY/ELPH/heuristics rows, so the tiers are
+    # comparable (VERDICT r2 #6); converges by epoch 1 on synth-ws
+    "seal-dgcnn-synth-ws": dict(dataset_name="synth-ws", model="SEALDGCNN",
+                                epochs=3, K=50, lr=0.001, num_hops=1,
+                                max_nodes_per_hop=50),
     "heuristics-synth-ws": None,  # RA/CN/AA via run_heuristics (1 rep)
 }
 
@@ -57,10 +62,11 @@ def main():
         pass
     selected = dict(CONFIGS)
     if not args.only:
-        # SEAL is ~90s/epoch on CPU — a 10-rep default run would take
-        # hours; run it explicitly via --only seal-dgcnn-synth-ba --reps 1
-        selected.pop("seal-dgcnn-synth-ba")
-        print("skipping seal-dgcnn-synth-ba by default (opt in via --only)")
+        # SEAL is minutes/epoch on CPU — a 10-rep default run would take
+        # hours; run explicitly via --only seal-dgcnn-synth-ws --reps 3
+        for seal in ("seal-dgcnn-synth-ba", "seal-dgcnn-synth-ws"):
+            selected.pop(seal)
+            print(f"skipping {seal} by default (opt in via --only)")
     else:
         names = [n for n in args.only.split(",") if n]
         unknown = [n for n in names if n not in CONFIGS]
