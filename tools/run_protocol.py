@@ -81,13 +81,17 @@ def main():
             t0 = time.time()
             res = run_heuristics.run(cfg, heuristics=("RA", "CN", "AA"))
             out[name] = {
-                # Hits@100 saturates on synth-ws (RA/CN/AA tie); AUC is the
-                # column that separates the three weightings
                 "metric": "Hits@100 + AUC",  # synth-ws is not an ogbl-* name
                 **{f"{h}_test_mean": round(res[h][f"{h}_test_mean"], 2)
                    for h in ("RA", "CN", "AA")},
-                **{f"{h}_test_auc": round(res[h][f"{h}_test_auc_mean"], 2)
+                **{f"{h}_test_auc": round(res[h][f"{h}_test_auc_mean"], 4)
                    for h in ("RA", "CN", "AA")},
+                "note": ("identical Hits@100 and near-identical AUC are "
+                         "REAL, not a scoring bug: synth-ws is near-regular "
+                         "(degrees 5-10), so RA~CN/deg and AA~CN/log(deg) "
+                         "are almost monotone transforms of CN (spearman "
+                         ">=0.996; score vectors verified distinct); "
+                         "tie-aware AUC separates them in the 4th decimal"),
                 "reps": 1, "wall_s": round(time.time() - t0, 1),
                 "command": "python -m subgraph_sketching_tpu.runners."
                            "run_heuristics --dataset_name synth-ws "
