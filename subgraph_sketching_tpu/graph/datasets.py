@@ -302,16 +302,36 @@ def load_ogb(name: str, cfg: Config, root: str
         g = Graph(tr, num_nodes, w.astype(np.float32), x).to_undirected()
         edge_index, edge_weight = g.edge_index, g.edge_weight
 
-    if directed:
-        train_negs = same_source_negatives(num_nodes, cfg.num_negs,
-                                           pos_of("train"), rng)
+    # train-negative disk cache (reference data.py:152-163 stores
+    # negative_samples[_k].pt per dataset): at collab/citation2 scale the
+    # rejection sampling costs minutes per rep that the cache amortises.
+    # Keyed by seed too — unlike the reference, different reps keep their
+    # distinct (but reproducible) negative draws.
+    negs_dir = (cfg.cache_dir if cfg.cache_dir
+                else ogb_raw_dir(name, root)
+                if os.path.isdir(ogb_raw_dir(name, root)) else None)
+    negs_path = None
+    if negs_dir:
+        k_str = "" if cfg.num_negs == 1 else f"_{cfg.num_negs}"
+        year_str = (f"_year{cfg.year}"
+                    if name == "ogbl-collab" and cfg.year > 0 else "")
+        negs_path = os.path.join(
+            negs_dir, f"negative_samples{k_str}{year_str}_seed{cfg.seed}.npz")
+    if negs_path and os.path.exists(negs_path):
+        train_negs = np.load(negs_path)["negs"]
     else:
-        loops = np.arange(num_nodes, dtype=np.int32)
-        forbidden = np.concatenate(
-            [edge_index, np.stack([loops, loops])], axis=1)
-        train_negs = negative_sampling(
-            forbidden, num_nodes, len(pos_of("train")) * cfg.num_negs, rng,
-            forbid_self_loops=False)
+        if directed:
+            train_negs = same_source_negatives(num_nodes, cfg.num_negs,
+                                               pos_of("train"), rng)
+        else:
+            loops = np.arange(num_nodes, dtype=np.int32)
+            forbidden = np.concatenate(
+                [edge_index, np.stack([loops, loops])], axis=1)
+            train_negs = negative_sampling(
+                forbidden, num_nodes, len(pos_of("train")) * cfg.num_negs,
+                rng, forbid_self_loops=False)
+        if negs_path:
+            np.savez(negs_path, negs=train_negs)
 
     splits: Dict[str, SplitData] = {}
     for split in ("train", "valid", "test"):

@@ -386,3 +386,25 @@ def test_repro_baseline_gate(tmp_path):
     assert np.isfinite(row["test_mean"]) and "command" in row
     # detection-only mode reports the absent planetoid datasets
     repro_baseline.main(["--check", "--data_root", str(tmp_path)])
+
+
+def test_train_negative_disk_cache(tmp_path):
+    """Train negatives are cached per (dataset, num_negs, year, seed)
+    (reference data.py:152-163) and reloaded bit-equal; the year filter
+    gets its own key (a stale no-year cache must not leak into a
+    year-filtered run)."""
+    from tests.ogb_fixture import write_collab_fixture
+    write_collab_fixture(str(tmp_path))
+    cfg = Config(dataset_name="ogbl-collab", data_root=str(tmp_path))
+    splits1, _, _ = get_data(cfg)
+    cache = os.path.join(str(tmp_path), "ogbl_collab",
+                         "negative_samples_seed0.npz")
+    assert os.path.exists(cache)
+    splits2, _, _ = get_data(cfg)
+    np.testing.assert_array_equal(splits1["train"].neg_edges,
+                                  splits2["train"].neg_edges)
+    cfg_y = Config(dataset_name="ogbl-collab", data_root=str(tmp_path),
+                   year=2008)
+    get_data(cfg_y)
+    assert os.path.exists(os.path.join(
+        str(tmp_path), "ogbl_collab", "negative_samples_year2008_seed0.npz"))
