@@ -204,8 +204,15 @@ jax.block_until_ready((sf_all, sf_mrr))
 dt = time.perf_counter() - t0
 n_feat = N_ALL + N_MRR
 log(f"features: {n_feat/1e6:.0f}M links in {dt:.1f}s "
-    f"-> {n_feat/dt/1e6:.2f}M links/s (sf resident "
+    f"-> {n_feat/dt/1e6:.2f}M links/s incl. first-compile (sf resident "
     f"{(sf_all.nbytes + sf_mrr.nbytes)/1e9:.2f}GB)")
+# steady state (compile cached): the production regime — repeat runs and
+# --compilation_cache_dir hits skip the one-off lax.map compiles
+t0 = time.perf_counter()
+jax.block_until_ready(feats_all(links_dev))
+dt2 = time.perf_counter() - t0
+log(f"features steady-state: {N_ALL/1e6:.0f}M links in {dt2:.1f}s "
+    f"-> {N_ALL/dt2/1e6:.2f}M links/s")
 sk = None                                 # free ~4.5GB of sketch state
 
 # ---- 5. SIGN(k=0) node features -----------------------------------------
