@@ -65,12 +65,63 @@ print(f"proc {{pid}} OK", flush=True)
 """
 
 
-@pytest.mark.skipif(os.environ.get("SKIP_MULTIPROCESS") == "1",
-                    reason="multi-process test disabled")
-def test_two_process_edge_sharded_build(tmp_path):
+_NODE_WORKER = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=2")
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+import jax.numpy as jnp
+from subgraph_sketching_tpu.parallel.multihost import initialize
+from subgraph_sketching_tpu.parallel.mesh import make_mesh
+from subgraph_sketching_tpu.parallel.node_sharded import (
+    make_node_partition, node_sharded_build_hash_tables,
+    node_sharded_subgraph_features)
+from subgraph_sketching_tpu.sketch import SketchParams, build_hash_tables
+from subgraph_sketching_tpu.sketch.elph import (initialise_sketches,
+                                                subgraph_features)
+from subgraph_sketching_tpu.graph import Graph
+from subgraph_sketching_tpu.graph.synthetic import watts_strogatz_graph
+
+pid = int(sys.argv[1])
+pi, pc = initialize("127.0.0.1:{port}", num_processes=2, process_id=pid)
+assert pc == 2 and len(jax.devices()) == 4
+
+# MEMORY-sharded build across two real processes: locality partition +
+# halo-exchange all_to_all riding the cross-process fabric; every host
+# computes the identical plan (deterministic numpy), device placement is
+# global.  Features psum-assemble rows from shards owned by BOTH hosts.
+n = 96
+g = Graph(watts_strogatz_graph(n, 6, 0.1, seed=5), n)
+params = SketchParams(max_hops=2)
+mesh = make_mesh([4], ("graph",))
+plan = make_node_partition(np.asarray(g.edge_index), n, 4)
+mh0, hll0 = plan.pad_init(*initialise_sketches(n, params))
+sk = node_sharded_build_hash_tables(plan, params, mesh, mh0, hll0)
+
+ref = build_hash_tables(jnp.asarray(g.edge_index), n, params)
+from jax.sharding import NamedSharding, PartitionSpec as P
+gather = jax.jit(lambda x: x, out_shardings=NamedSharding(mesh, P()))
+got_mh = np.asarray(gather(sk.minhash).addressable_shards[0].data)
+np.testing.assert_array_equal(plan.to_node_order(got_mh),
+                              np.asarray(ref.minhash))
+links = np.stack([np.arange(32), (np.arange(32) * 5 + 7) % n], 1)
+sf = node_sharded_subgraph_features(links.astype(np.int32), sk, params,
+                                    mesh, perm=plan.perm)
+sf_ref = subgraph_features(jnp.asarray(links.astype(np.int32)), ref, params)
+sf_local = np.asarray(gather(sf).addressable_shards[0].data)
+np.testing.assert_allclose(sf_local, np.asarray(sf_ref), rtol=1e-6,
+                           atol=1e-4)
+print(f"proc {{pid}} OK", flush=True)
+"""
+
+
+def _run_two_procs(tmp_path, template, port):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    port = 45617
-    script = _WORKER.format(repo=repo, port=port)
+    script = template.format(repo=repo, port=port)
     path = tmp_path / "worker.py"
     path.write_text(script)
     env = {k: v for k, v in os.environ.items()
@@ -86,3 +137,18 @@ def test_two_process_edge_sharded_build(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
         assert f"proc {i} OK" in out
+
+
+@pytest.mark.skipif(os.environ.get("SKIP_MULTIPROCESS") == "1",
+                    reason="multi-process test disabled")
+def test_two_process_edge_sharded_build(tmp_path):
+    _run_two_procs(tmp_path, _WORKER, 45617)
+
+
+@pytest.mark.skipif(os.environ.get("SKIP_MULTIPROCESS") == "1",
+                    reason="multi-process test disabled")
+def test_two_process_node_sharded_build(tmp_path):
+    """The memory-sharded path (locality partition, halo all_to_all,
+    psum-assembled features) executed across TWO real processes — the
+    halo exchange and row assembly ride the cross-process fabric."""
+    _run_two_procs(tmp_path, _NODE_WORKER, 45631)
