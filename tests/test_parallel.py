@@ -458,3 +458,27 @@ def test_ici_scaling_model_structure():
     assert weak["mode"] == "weak"
     assert all(0.0 < r["efficiency"] <= 1.0
                for r in weak["per_device_count"].values())
+
+
+def test_node_sharded_three_hop(setup):
+    """K=3 (the Pubmed reproduction config) through the memory-sharded
+    build + psum feature assembly: bit-exact tables, feature equality."""
+    from subgraph_sketching_tpu.parallel import (
+        make_node_partition, node_sharded_build_hash_tables,
+        node_sharded_subgraph_features,
+    )
+    g, _, _, links = setup
+    n = g.num_nodes
+    params3 = SketchParams(max_hops=3)
+    sk_ref = build_hash_tables(jnp.asarray(g.edge_index), n, params3)
+    mesh = make_mesh([8], ("graph",))
+    plan = make_node_partition(np.asarray(g.edge_index), n, 8)
+    mh0, hll0 = plan.pad_init(*initialise_sketches(n, params3))
+    sk = node_sharded_build_hash_tables(plan, params3, mesh, mh0, hll0)
+    np.testing.assert_array_equal(plan.to_node_order(sk.minhash),
+                                  np.asarray(sk_ref.minhash))
+    sf_ref = np.asarray(subgraph_features(jnp.asarray(links), sk_ref,
+                                          params3))
+    sf = np.asarray(node_sharded_subgraph_features(links, sk, params3, mesh,
+                                                   perm=plan.perm))
+    np.testing.assert_allclose(sf, sf_ref, rtol=1e-6, atol=1e-4)
