@@ -71,10 +71,16 @@ class LinkScorer:
                 "serving needs the sketch stacks: build the dataset with "
                 "build_link_dataset (BUDDY path) so LinkDataset.sketches "
                 "is retained")
+        # RA (resource allocation) feature: keep the message-graph CSR
+        # resident on host and score each query batch with the SAME
+        # host-path math preprocessing used (heuristics.resource_allocation
+        # over the identical coalesced/undirected graph), so online RA
+        # matches the staged training feature exactly
+        self.ra_csr = None
         if cfg.use_RA:
-            raise NotImplementedError(
-                "RA features need a host CSR pass per query batch; train "
-                "the serving model with use_RA=False")
+            from subgraph_sketching_tpu.graph.container import Graph
+            self.ra_csr = Graph(dataset.edge_index, dataset.num_nodes,
+                                dataset.edge_weight).csr()
         self.cfg = cfg
         self.model = trainer.model
         self.sketch_params = sketch_params_from_config(cfg)
@@ -103,7 +109,7 @@ class LinkScorer:
 
     # -- the one program ----------------------------------------------------
     def _score_batch(self, params, batch_stats, links, sk, x, deg,
-                     emb_table):
+                     emb_table, ra):
         # zero-one knockout / floor are applied inside subgraph_features
         # (sketch/elph.py:187-199) from the same SketchParams the
         # preprocessing used, so online features match the staged ones
@@ -116,8 +122,16 @@ class LinkScorer:
             sf=sf,
             node_features=None if x is None else x[links],
             src_degree=deg[links[:, 0]], dst_degree=deg[links[:, 1]],
-            RA=None, training=False)
+            RA=ra, training=False)
         return out.ravel()
+
+    def _ra_of(self, chunk) -> Optional[jnp.ndarray]:
+        if self.ra_csr is None:
+            return None
+        from subgraph_sketching_tpu.heuristics import resource_allocation
+        return jnp.asarray(np.asarray(
+            resource_allocation(self.ra_csr, np.asarray(chunk)),
+            dtype=np.float32))
 
     # -- public API ---------------------------------------------------------
     def score(self, links: np.ndarray) -> np.ndarray:
@@ -125,7 +139,8 @@ class LinkScorer:
         return _bucketed_score(
             lambda chunk: self._jit(self.state.params,
                                     self.state.batch_stats, chunk, self.sk,
-                                    self.x, self.deg, self.emb_table),
+                                    self.x, self.deg, self.emb_table,
+                                    self._ra_of(chunk)),
             links, self.min_bucket, self.max_bucket)
 
     def warmup(self, buckets: Optional[list] = None) -> None:
