@@ -315,8 +315,11 @@ def load_ogb(name: str, cfg: Config, root: str
         k_str = "" if cfg.num_negs == 1 else f"_{cfg.num_negs}"
         year_str = (f"_year{cfg.year}"
                     if name == "ogbl-collab" and cfg.year > 0 else "")
+        # dataset name in the key: a shared --cache_dir must never serve
+        # one dataset's negatives to another
         negs_path = os.path.join(
-            negs_dir, f"negative_samples{k_str}{year_str}_seed{cfg.seed}.npz")
+            negs_dir,
+            f"{name}_negative_samples{k_str}{year_str}_seed{cfg.seed}.npz")
     if negs_path and os.path.exists(negs_path):
         train_negs = np.load(negs_path)["negs"]
     else:
@@ -331,6 +334,7 @@ def load_ogb(name: str, cfg: Config, root: str
                 forbidden, num_nodes, len(pos_of("train")) * cfg.num_negs,
                 rng, forbid_self_loops=False)
         if negs_path:
+            os.makedirs(negs_dir, exist_ok=True)  # fresh --cache_dir
             np.savez(negs_path, negs=train_negs)
 
     splits: Dict[str, SplitData] = {}

@@ -89,6 +89,12 @@ class LinkScorer:
         # structure features (reference train.py:58) — serve the same zeros,
         # never live sketch features (train/serve skew)
         self.sk = dataset.sketches if cfg.use_struct_feature else None
+        # node-sharded (locality-partitioned) tables are POSITION-ordered:
+        # sketch lookups must translate node id -> row position or every
+        # online score reads the wrong nodes' rows (train/serve skew)
+        self.sk_perm = (jnp.asarray(dataset.sketch_perm)
+                        if self.sk is not None
+                        and dataset.sketch_perm is not None else None)
         self.num_nodes = dataset.num_nodes
         self.x = (jnp.asarray(dataset.x)
                   if trainer.use_feature and dataset.x is not None else None)
@@ -109,11 +115,13 @@ class LinkScorer:
 
     # -- the one program ----------------------------------------------------
     def _score_batch(self, params, batch_stats, links, sk, x, deg,
-                     emb_table, ra):
+                     emb_table, ra, sk_perm):
         # zero-one knockout / floor are applied inside subgraph_features
         # (sketch/elph.py:187-199) from the same SketchParams the
-        # preprocessing used, so online features match the staged ones
-        sf = (subgraph_features(links, sk, self.sketch_params)
+        # preprocessing used, so online features match the staged ones.
+        # Only the SKETCH lookup rides sk_perm (x/deg/emb stay id-ordered).
+        sk_links = links if sk_perm is None else sk_perm[links]
+        sf = (subgraph_features(sk_links, sk, self.sketch_params)
               if sk is not None else
               jnp.zeros((links.shape[0], self.sketch_params.sf_dim)))
         variables = {"params": params, "batch_stats": batch_stats}
@@ -140,7 +148,7 @@ class LinkScorer:
             lambda chunk: self._jit(self.state.params,
                                     self.state.batch_stats, chunk, self.sk,
                                     self.x, self.deg, self.emb_table,
-                                    self._ra_of(chunk)),
+                                    self._ra_of(chunk), self.sk_perm),
             links, self.min_bucket, self.max_bucket)
 
     def warmup(self, buckets: Optional[list] = None) -> None:

@@ -612,6 +612,21 @@ class ElphTrainer:
                           np.float32)
         elif self._memory_sharded:
             sf = None  # extracted per batch inside the step, from shards
+        elif ds.sketches is not None and ds.sketch_perm is not None:
+            # the dataset carries POSITION-ordered node-sharded tables
+            # (built under a graph mesh): features must translate node ids
+            # through the perm — raw-id gathers would read the wrong rows
+            if not self._has_graph:
+                raise ValueError(
+                    "dataset carries node-sharded sketches but this trainer "
+                    "has no 'graph' mesh axis; rebuild the dataset without "
+                    "a mesh or configure --mesh_axes with 'graph'")
+            from subgraph_sketching_tpu.graph.preprocess import (
+                _chunked_node_sharded_features,
+            )
+            sf = _chunked_node_sharded_features(
+                ds.links, ds.sketches, self.sketch_params, self.mesh,
+                self.cfg, perm=ds.sketch_perm)
         else:
             sketches = ds.sketches
             if sketches is None:

@@ -337,10 +337,13 @@ def test_ogb_raw_layout_citation2(tmp_path):
 
     write_citation2_fixture(str(tmp_path))
     data, split_edge = load_ogb_raw("ogbl-citation2", str(tmp_path))
-    # directed: no inverse duplication
-    E = data["edge_index"].shape[1]
-    tr = np.asarray(split_edge["train"]["source_node"])
-    assert E == 200 - (0) or E <= 200  # self-loops dropped by the fixture
+    # directed (add_inverse_edge=False): edge_index must equal the STORED
+    # raw edge list exactly — same count, no inverse doubling
+    import gzip
+    with gzip.open(os.path.join(str(tmp_path), "ogbl_citation2", "raw",
+                                "edge.csv.gz"), "rt") as f:
+        stored = sum(1 for _ in f)
+    assert data["edge_index"].shape == (2, stored)
     assert "target_node_neg" in split_edge["valid"]
 
     cfg = Config(dataset_name="ogbl-citation2", data_root=str(tmp_path),
@@ -398,7 +401,7 @@ def test_train_negative_disk_cache(tmp_path):
     cfg = Config(dataset_name="ogbl-collab", data_root=str(tmp_path))
     splits1, _, _ = get_data(cfg)
     cache = os.path.join(str(tmp_path), "ogbl_collab",
-                         "negative_samples_seed0.npz")
+                         "ogbl-collab_negative_samples_seed0.npz")
     assert os.path.exists(cache)
     splits2, _, _ = get_data(cfg)
     np.testing.assert_array_equal(splits1["train"].neg_edges,
@@ -407,4 +410,14 @@ def test_train_negative_disk_cache(tmp_path):
                    year=2008)
     get_data(cfg_y)
     assert os.path.exists(os.path.join(
-        str(tmp_path), "ogbl_collab", "negative_samples_year2008_seed0.npz"))
+        str(tmp_path), "ogbl_collab",
+        "ogbl-collab_negative_samples_year2008_seed0.npz"))
+    # a shared (and not-yet-existing) --cache_dir keys by DATASET NAME, so
+    # two datasets never serve each other's negatives, and the dir is
+    # created on first save
+    fresh = str(tmp_path / "newcache")
+    cfg_c = Config(dataset_name="ogbl-collab", data_root=str(tmp_path),
+                   cache_dir=fresh)
+    get_data(cfg_c)
+    assert os.path.exists(os.path.join(
+        fresh, "ogbl-collab_negative_samples_seed0.npz"))

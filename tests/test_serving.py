@@ -254,3 +254,32 @@ def test_scorer_with_use_RA():
     online_pred = scorer.score(ds["valid"].links)
     np.testing.assert_allclose(online_pred, offline_pred, rtol=1e-5,
                                atol=1e-5)
+
+
+def test_buddy_scorer_with_node_sharded_sketches():
+    """LinkScorer over a dataset built with a graph mesh axis: the
+    sketches are node-sharded and POSITION-ordered (locality partition),
+    so online sketch lookups must ride dataset.sketch_perm — scores must
+    equal the offline predict path (which used the perm-aware staged
+    features).  Regression for the round-3 review finding."""
+    # synth-ba: the strided candidate wins the partition (early-id hubs),
+    # so the perm is genuinely non-identity and the translation is LOAD
+    # BEARING in this test (ring-ordered synth-ws would keep id order)
+    cfg = Config(dataset_name="synth-ba", hidden_channels=16, batch_size=512,
+                 eval_batch_size=4096, model="BUDDY", K=50, lr=0.003,
+                 mesh_shape=[8], mesh_axes=["graph"])
+    splits, _, _ = get_data(cfg)
+    ds = {k: build_link_dataset(sd, cfg, k) for k, sd in splits.items()}
+    perm = ds["valid"].sketch_perm
+    assert perm is not None
+    assert not np.array_equal(perm, np.arange(len(perm), dtype=perm.dtype))
+    tr = BuddyTrainer(cfg, ds["train"], ds["train"].x.shape[-1])
+    tr.stage("valid", ds["valid"])
+    state = tr.init_state(jax.random.PRNGKey(0))
+    state, _ = tr.train_epoch(state, np.random.default_rng(0),
+                              jax.random.PRNGKey(0))
+    scorer = LinkScorer(tr, ds["valid"], state, min_bucket=64)
+    offline_pred, _ = tr.predict(state, "valid")
+    online_pred = scorer.score(ds["valid"].links)
+    np.testing.assert_allclose(online_pred, offline_pred, rtol=1e-5,
+                               atol=1e-5)

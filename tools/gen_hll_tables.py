@@ -104,6 +104,13 @@ def main(argv=None):
     ap.add_argument("--out", default=OUT)
     args = ap.parse_args(argv)
     out = {}
+    if args.only_p and os.path.exists(args.out):
+        # --only-p regenerates ONE precision: merge into the existing file
+        # instead of clobbering the other precisions' tables (overwriting
+        # the shipped npz with a single-p file would break every other
+        # hll_p at runtime)
+        with np.load(args.out) as z:
+            out = {k: np.asarray(z[k]) for k in z.files}
     ps = [args.only_p] if args.only_p else sorted(TRIALS)
     for p in ps:
         rng = np.random.default_rng(args.seed + p)
