@@ -96,6 +96,7 @@ class LinkScorer:
                         if self.sk is not None
                         and dataset.sketch_perm is not None else None)
         self.num_nodes = dataset.num_nodes
+        self._edge_index = dataset.edge_index  # for insert_edges
         self.x = (jnp.asarray(dataset.x)
                   if trainer.use_feature and dataset.x is not None else None)
         self.deg = jnp.asarray(dataset.degrees, dtype=jnp.float32)
@@ -156,6 +157,104 @@ class LinkScorer:
         first-query latency is serving latency, not compile latency."""
         for b in (buckets or [self.min_bucket]):
             self.score(np.zeros((b, 2), np.int32))
+
+    # -- streaming updates ----------------------------------------------------
+    def _out_pairs(self, srcs: np.ndarray) -> np.ndarray:
+        """All current (src, dst) edges whose src is in ``srcs`` — original
+        message graph + every edge inserted since (src-sorted CSR built
+        lazily on first insert)."""
+        if not hasattr(self, "_out_sorted"):
+            ei = np.asarray(self._edge_index, dtype=np.int64)
+            order = np.argsort(ei[0], kind="stable")
+            self._out_sorted = ei[:, order]
+            self._out_starts = np.searchsorted(
+                self._out_sorted[0], np.arange(self.num_nodes + 1))
+            self._extra_edges = np.zeros((2, 0), np.int64)
+        lo = self._out_starts[srcs]
+        hi = self._out_starts[srcs + 1]
+        counts = hi - lo
+        total = int(counts.sum())
+        idx = (np.repeat(lo, counts)
+               + np.arange(total)
+               - np.repeat(np.cumsum(counts) - counts, counts))
+        pairs = self._out_sorted[:, idx].T
+        if self._extra_edges.shape[1]:
+            m = np.isin(self._extra_edges[0], srcs)
+            pairs = np.concatenate([pairs, self._extra_edges[:, m].T])
+        return pairs
+
+    def insert_edges(self, edges: np.ndarray, weights=None,
+                     undirected: bool = True) -> None:
+        """EXACT streaming edge insertion — no reference equivalent.
+
+        Min/max sketches are monotone and idempotent under edge
+        insertions, so the updated hop tables equal a from-scratch rebuild
+        on the augmented graph BIT-EXACTLY, at O(Σ deg(touched)) update
+        cost instead of O(E·K): hop-k rows of the new edges' endpoints
+        (and their out-neighbours, transitively per hop, plus the self
+        fold-in) merge the UPDATED hop-(k-1) rows of their sources;
+        cardinalities recompute for the touched rows only.  Degrees (and
+        the RA CSR when --use_RA) update too.  SIGN node features stay as
+        precomputed offline — the same staleness the reference's cached
+        features have.
+
+        edges: [M, 2] int node pairs; ``undirected=True`` (the message
+        graphs here are undirected) inserts both directions.
+        """
+        if self.sk_perm is not None:
+            raise NotImplementedError(
+                "insert_edges on node-sharded (position-ordered) serving "
+                "state is not supported; rebuild the scorer")
+        edges = np.asarray(edges, dtype=np.int64)
+        if edges.ndim != 2 or edges.shape[1] != 2:
+            raise ValueError(f"edges must be [M, 2], got {edges.shape}")
+        if len(edges) == 0:
+            return
+        if edges.min() < 0 or edges.max() >= self.num_nodes:
+            raise ValueError("edge endpoint out of range "
+                             f"[0, {self.num_nodes})")
+        w = (np.ones(len(edges), np.float32) if weights is None
+             else np.asarray(weights, np.float32))
+        if undirected:
+            edges = np.concatenate([edges, edges[:, ::-1]])
+            w = np.concatenate([w, w])
+        # degrees: weighted in-degree by dst (container.Graph.degrees is
+        # A.sum(axis=0); symmetric graphs make it the undirected degree)
+        self.deg = self.deg.at[jnp.asarray(edges[:, 1])].add(jnp.asarray(w))
+        if self.ra_csr is not None:
+            import scipy.sparse as ssp
+            self.ra_csr = (self.ra_csr + ssp.csr_matrix(
+                (w, (edges[:, 0], edges[:, 1])),
+                shape=(self.num_nodes, self.num_nodes))).tocsr()
+        if self.sk is None:
+            return
+        from subgraph_sketching_tpu.sketch.hll import hll_count
+        from subgraph_sketching_tpu.sketch.params import Sketches
+        K = self.sketch_params.max_hops
+        if int(self.sk.minhash.shape[0]) != K + 1:
+            raise NotImplementedError(
+                "insert_edges needs the full hop-0..K sketch stacks "
+                "(hops-only stacks drop the hop-0 rows the update reads)")
+        self._out_pairs(np.zeros(0, np.int64))  # ensure CSR exists
+        mh, hll, cards = self.sk.minhash, self.sk.hll, self.sk.cards
+        pairs = edges
+        changed = None
+        for k in range(1, K + 1):
+            if changed is not None:
+                pairs = np.concatenate([
+                    edges, self._out_pairs(changed),
+                    np.stack([changed, changed], axis=1)])  # self fold-in
+            s_idx = jnp.asarray(pairs[:, 0])
+            d_idx = jnp.asarray(pairs[:, 1])
+            mh = mh.at[k, d_idx].min(mh[k - 1, s_idx])
+            hll = hll.at[k, d_idx].max(hll[k - 1, s_idx])
+            changed = np.unique(pairs[:, 1])
+            rows = jnp.asarray(changed)
+            cards = cards.at[rows, k - 1].set(
+                hll_count(hll[k, rows], self.sketch_params.hll_p))
+        self.sk = Sketches(minhash=mh, hll=hll, cards=cards)
+        self._extra_edges = np.concatenate([self._extra_edges, edges.T],
+                                           axis=1)
 
 
 class ElphLinkScorer:

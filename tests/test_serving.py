@@ -283,3 +283,73 @@ def test_buddy_scorer_with_node_sharded_sketches():
     online_pred = scorer.score(ds["valid"].links)
     np.testing.assert_allclose(online_pred, offline_pred, rtol=1e-5,
                                atol=1e-5)
+
+
+def test_insert_edges_exact_vs_rebuild():
+    """Streaming insertion is EXACT: a scorer updated with insert_edges
+    must produce bit-level-equal sketch state — and therefore identical
+    scores — to a scorer built from scratch on the augmented graph.
+    (Min/max sketches are monotone+idempotent under insertion.)"""
+    from subgraph_sketching_tpu.graph import Graph
+    from subgraph_sketching_tpu.graph.splits import SplitData
+    from subgraph_sketching_tpu.graph.synthetic import watts_strogatz_graph
+
+    n = 300
+    ei_full = watts_strogatz_graph(n, 8, 0.1, seed=9)
+    # hold out 20 undirected pairs (both directions) from the message graph
+    und = ei_full[:, ei_full[0] < ei_full[1]]
+    rng = np.random.default_rng(0)
+    drop = rng.choice(und.shape[1], 20, replace=False)
+    dropped = und[:, drop]                       # [2, 20] u < v
+    keep = np.ones(und.shape[1], bool)
+    keep[drop] = False
+    kept = und[:, keep]
+    ei_small = np.concatenate([kept, kept[::-1]], axis=1)
+    order = np.lexsort((ei_small[1], ei_small[0]))
+    ei_small = ei_small[:, order]
+
+    # use_feature=False (the ddi shape): model inputs are sf + degrees,
+    # both of which insert_edges updates — so equality must be exact
+    cfg = Config(dataset_name="synth-ws", hidden_channels=16, batch_size=256,
+                 eval_batch_size=1024, model="BUDDY", K=20, use_feature=False)
+    links = np.stack([rng.integers(0, n, 200),
+                      rng.integers(0, n, 200)], 1).astype(np.int32)
+    labels = (np.arange(200) % 2).astype(np.float32)
+
+    def make_scorer(ei):
+        g = Graph(ei, n)
+        sd = SplitData(graph=g, pos_edges=links[:100], neg_edges=links[100:])
+        ds = build_link_dataset(sd, cfg, "train")
+        tr = BuddyTrainer(cfg, ds, None)
+        state = tr.init_state(jax.random.PRNGKey(0))
+        return LinkScorer(tr, ds, state, min_bucket=64), ds
+
+    scorer_small, _ = make_scorer(ei_small)
+    scorer_full, _ = make_scorer(ei_full)
+    queries = np.stack([rng.integers(0, n, 128),
+                        rng.integers(0, n, 128)], 1).astype(np.int32)
+    before = scorer_small.score(queries)
+    scorer_small.insert_edges(dropped.T)         # undirected pairs
+    # sketch state must be bit-equal to the from-scratch build
+    np.testing.assert_array_equal(np.asarray(scorer_small.sk.minhash),
+                                  np.asarray(scorer_full.sk.minhash))
+    np.testing.assert_array_equal(np.asarray(scorer_small.sk.hll),
+                                  np.asarray(scorer_full.sk.hll))
+    np.testing.assert_allclose(np.asarray(scorer_small.sk.cards),
+                               np.asarray(scorer_full.sk.cards),
+                               rtol=1e-6, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(scorer_small.deg),
+                               np.asarray(scorer_full.deg))
+    after = scorer_small.score(queries)
+    want = scorer_full.score(queries)
+    np.testing.assert_allclose(after, want, rtol=1e-5, atol=1e-5)
+    assert not np.allclose(before, want)         # the insert mattered
+    # second incremental batch goes through the accumulated-extra path:
+    # split the drop in two and apply sequentially from scratch
+    scorer_two, _ = make_scorer(ei_small)
+    scorer_two.insert_edges(dropped.T[:7])
+    scorer_two.insert_edges(dropped.T[7:])
+    np.testing.assert_array_equal(np.asarray(scorer_two.sk.minhash),
+                                  np.asarray(scorer_full.sk.minhash))
+    np.testing.assert_array_equal(np.asarray(scorer_two.sk.hll),
+                                  np.asarray(scorer_full.sk.hll))
