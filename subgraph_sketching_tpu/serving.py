@@ -28,6 +28,18 @@ from subgraph_sketching_tpu.graph.preprocess import (
 from subgraph_sketching_tpu.sketch.elph import subgraph_features
 
 
+def _pad_pow2(a: np.ndarray, min_size: int = 256) -> np.ndarray:
+    """Zero-pad a 1-D index array to the next power of two (>= min_size)."""
+    size = 1 << max(min_size.bit_length() - 1, (max(len(a), 1) - 1)
+                    .bit_length())
+    size = max(size, min_size)
+    if len(a) == size:
+        return a
+    out = np.zeros(size, a.dtype)
+    out[:len(a)] = a
+    return out
+
+
 def _bucketed_score(invoke, links: np.ndarray, min_bucket: int,
                     max_bucket: int) -> np.ndarray:
     """Shared bucket/pad/chunk loop: pad each ≤max_bucket chunk up to the
@@ -201,10 +213,17 @@ class LinkScorer:
         edges: [M, 2] int node pairs; ``undirected=True`` (the message
         graphs here are undirected) inserts both directions.
         """
+        # ALL validation before ANY state mutation: a raise must never
+        # leave degrees/RA updated against un-updated sketches
         if self.sk_perm is not None:
             raise NotImplementedError(
                 "insert_edges on node-sharded (position-ordered) serving "
                 "state is not supported; rebuild the scorer")
+        K = self.sketch_params.max_hops
+        if self.sk is not None and int(self.sk.minhash.shape[0]) != K + 1:
+            raise NotImplementedError(
+                "insert_edges needs the full hop-0..K sketch stacks "
+                "(hops-only stacks drop the hop-0 rows the update reads)")
         edges = np.asarray(edges, dtype=np.int64)
         if edges.ndim != 2 or edges.shape[1] != 2:
             raise ValueError(f"edges must be [M, 2], got {edges.shape}")
@@ -228,13 +247,7 @@ class LinkScorer:
                 shape=(self.num_nodes, self.num_nodes))).tocsr()
         if self.sk is None:
             return
-        from subgraph_sketching_tpu.sketch.hll import hll_count
         from subgraph_sketching_tpu.sketch.params import Sketches
-        K = self.sketch_params.max_hops
-        if int(self.sk.minhash.shape[0]) != K + 1:
-            raise NotImplementedError(
-                "insert_edges needs the full hop-0..K sketch stacks "
-                "(hops-only stacks drop the hop-0 rows the update reads)")
         self._out_pairs(np.zeros(0, np.int64))  # ensure CSR exists
         mh, hll, cards = self.sk.minhash, self.sk.hll, self.sk.cards
         pairs = edges
@@ -244,17 +257,48 @@ class LinkScorer:
                 pairs = np.concatenate([
                     edges, self._out_pairs(changed),
                     np.stack([changed, changed], axis=1)])  # self fold-in
-            s_idx = jnp.asarray(pairs[:, 0])
-            d_idx = jnp.asarray(pairs[:, 1])
-            mh = mh.at[k, d_idx].min(mh[k - 1, s_idx])
-            hll = hll.at[k, d_idx].max(hll[k - 1, s_idx])
             changed = np.unique(pairs[:, 1])
-            rows = jnp.asarray(changed)
-            cards = cards.at[rows, k - 1].set(
-                hll_count(hll[k, rows], self.sketch_params.hll_p))
+            # pad to power-of-two buckets so repeat inserts hit the jit
+            # cache; padding with (0, 0) pairs / row 0 is a no-op (hop-k
+            # rows already contain their own hop-(k-1) row — self fold-in —
+            # and re-deriving row 0's cardinality is idempotent)
+            mh, hll, cards = self._hop_update_jit()(
+                mh, hll, cards, jnp.asarray(_pad_pow2(pairs[:, 0])),
+                jnp.asarray(_pad_pow2(pairs[:, 1])),
+                jnp.asarray(_pad_pow2(changed)), k)
         self.sk = Sketches(minhash=mh, hll=hll, cards=cards)
         self._extra_edges = np.concatenate([self._extra_edges, edges.T],
                                            axis=1)
+        # fold accumulated extras into the sorted adjacency once they get
+        # big: keeps _out_pairs' isin scan bounded on long-running servers
+        if self._extra_edges.shape[1] > max(
+                100_000, self._out_sorted.shape[1] // 4):
+            ei = np.concatenate([self._out_sorted, self._extra_edges],
+                                axis=1)
+            order = np.argsort(ei[0], kind="stable")
+            self._out_sorted = ei[:, order]
+            self._out_starts = np.searchsorted(
+                self._out_sorted[0], np.arange(self.num_nodes + 1))
+            self._extra_edges = np.zeros((2, 0), np.int64)
+
+    def _hop_update_jit(self):
+        """One jitted, buffer-donating hop update: scatters in place on
+        device instead of copying the multi-GB stacks per eager .at[] op
+        (eager scatters copy the whole array; donation lets XLA reuse the
+        buffers)."""
+        if not hasattr(self, "_hop_jit"):
+            from subgraph_sketching_tpu.sketch.hll import hll_count
+            p = self.sketch_params.hll_p
+
+            def upd(mh, hll, cards, s_idx, d_idx, rows, k):
+                mh = mh.at[k, d_idx].min(mh[k - 1, s_idx])
+                hll = hll.at[k, d_idx].max(hll[k - 1, s_idx])
+                cards = cards.at[rows, k - 1].set(hll_count(hll[k, rows], p))
+                return mh, hll, cards
+
+            self._hop_jit = jax.jit(upd, static_argnums=(6,),
+                                    donate_argnums=(0, 1, 2))
+        return self._hop_jit
 
 
 class ElphLinkScorer:

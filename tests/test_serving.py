@@ -353,3 +353,54 @@ def test_insert_edges_exact_vs_rebuild():
                                   np.asarray(scorer_full.sk.minhash))
     np.testing.assert_array_equal(np.asarray(scorer_two.sk.hll),
                                   np.asarray(scorer_full.sk.hll))
+
+
+def test_insert_edges_weighted_with_RA():
+    """Weighted insertion with --use_RA: degrees, the RA CSR, and the
+    sketches must all equal a from-scratch scorer on the augmented
+    WEIGHTED graph (covers the weights doubling for undirected pairs and
+    the csr (src, dst) orientation)."""
+    from subgraph_sketching_tpu.graph import Graph
+    from subgraph_sketching_tpu.graph.splits import SplitData
+    from subgraph_sketching_tpu.graph.synthetic import watts_strogatz_graph
+
+    n = 200
+    ei_full = watts_strogatz_graph(n, 6, 0.1, seed=11)
+    und = ei_full[:, ei_full[0] < ei_full[1]]
+    rng = np.random.default_rng(1)
+    w_und = rng.integers(1, 4, und.shape[1]).astype(np.float32)
+    drop = rng.choice(und.shape[1], 10, replace=False)
+    keep = np.ones(und.shape[1], bool)
+    keep[drop] = False
+
+    def sym(e, w):
+        ei = np.concatenate([e, e[::-1]], axis=1)
+        ww = np.concatenate([w, w])
+        order = np.lexsort((ei[1], ei[0]))
+        return ei[:, order], ww[order]
+
+    ei_s, w_s = sym(und[:, keep], w_und[keep])
+    ei_f, w_f = sym(und, w_und)
+    cfg = Config(dataset_name="synth-ws", hidden_channels=16, batch_size=256,
+                 eval_batch_size=1024, model="BUDDY", K=20,
+                 use_feature=False, use_RA=True)
+    links = np.stack([rng.integers(0, n, 100),
+                      rng.integers(0, n, 100)], 1).astype(np.int32)
+
+    def make(ei, w):
+        g = Graph(ei, n, w)
+        sd = SplitData(graph=g, pos_edges=links[:50], neg_edges=links[50:])
+        ds = build_link_dataset(sd, cfg, "train")
+        tr = BuddyTrainer(cfg, ds, None)
+        state = tr.init_state(jax.random.PRNGKey(0))
+        return LinkScorer(tr, ds, state, min_bucket=64)
+
+    a, b = make(ei_s, w_s), make(ei_f, w_f)
+    a.insert_edges(und[:, drop].T, weights=w_und[drop])
+    np.testing.assert_allclose(np.asarray(a.deg), np.asarray(b.deg))
+    np.testing.assert_allclose((a.ra_csr - b.ra_csr).toarray(), 0)
+    np.testing.assert_array_equal(np.asarray(a.sk.minhash),
+                                  np.asarray(b.sk.minhash))
+    q = np.stack([rng.integers(0, n, 96), rng.integers(0, n, 96)],
+                 1).astype(np.int32)
+    np.testing.assert_allclose(a.score(q), b.score(q), rtol=1e-5, atol=1e-5)

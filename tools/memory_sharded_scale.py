@@ -19,8 +19,13 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
+# the virtual device count must be fixed BEFORE jax initialises: pre-scan
+# argv for --devices so values other than 8 actually work
+_D = 8
+if "--devices" in sys.argv:
+    _D = int(sys.argv[sys.argv.index("--devices") + 1])
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-                           + " --xla_force_host_platform_device_count=8")
+                           + f" --xla_force_host_platform_device_count={_D}")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
@@ -31,7 +36,7 @@ import numpy as np  # noqa: E402
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--nodes", type=int, default=12_000_000)
-    ap.add_argument("--devices", type=int, default=8)
+    ap.add_argument("--devices", type=int, default=_D)
     ap.add_argument("--deg", type=int, default=10)
     args = ap.parse_args()
 
