@@ -242,8 +242,9 @@ def build_link_dataset(split_data: SplitData, cfg: Config, split: str,
             part = make_node_partition(g.edge_index, g.num_nodes, D)
             mh0, hll0 = part.pad_init(*initialise_sketches(g.num_nodes,
                                                            params))
-            sketches = node_sharded_build_hash_tables(part, params, mesh,
-                                                      mh0, hll0)
+            sketches = node_sharded_build_hash_tables(
+                part, params, mesh, mh0, hll0,
+                max_gather_rows=cfg.max_gather_slots)
             sketch_perm = part.perm
         else:
             from subgraph_sketching_tpu.ops.segment_scan import make_auto_plan

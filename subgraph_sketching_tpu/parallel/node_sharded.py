@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import functools
 from dataclasses import dataclass
+from typing import Optional
 
 import numpy as np
 import jax
@@ -346,8 +347,45 @@ def make_node_partition(edge_index: np.ndarray, num_nodes: int,
                              halo_mask=hm, perm=perm)
 
 
-def _sharded_hop(plan: NodePartitionPlan, mesh: Mesh, axis: str):
-    """One halo-exchanged propagation hop over node-sharded state."""
+def _chunked_seg(table, src_idx, dst_idx, mask, S: int, op: str,
+                 max_rows: Optional[int]):
+    """segment_min/max(table[src_idx], dst_idx, S), streaming the gather in
+    ``max_rows`` chunks via lax.scan when the one-shot [E, width]
+    intermediate would exceed the budget — min/max are associative, so the
+    chunked accumulation is bit-exact with the one-shot reduce (the sharded
+    analogue of ops.segment_scan.ChunkedSegmentPlan)."""
+    seg = segment_min if op == "min" else segment_max
+    E = src_idx.shape[0]
+    if max_rows is None or E <= max_rows:
+        return seg(table[src_idx], dst_idx, S, mask=mask)
+    C = -(-E // max_rows)
+    pad = C * max_rows - E
+    src_idx = jnp.pad(src_idx, (0, pad))
+    dst_idx = jnp.pad(dst_idx, (0, pad))
+    mask = jnp.pad(mask, (0, pad))  # padded lanes masked out
+    ident = (jnp.iinfo(table.dtype).max if op == "min"
+             else jnp.iinfo(table.dtype).min)
+    comb = jnp.minimum if op == "min" else jnp.maximum
+
+    def body(acc, xs):
+        s, d, m = xs
+        return comb(acc, seg(table[s], d, S, mask=m)), None
+
+    acc0 = jnp.full((S, table.shape[1]), ident, table.dtype)
+    acc, _ = jax.lax.scan(
+        body, acc0, (src_idx.reshape(C, max_rows),
+                     dst_idx.reshape(C, max_rows),
+                     mask.reshape(C, max_rows)))
+    return acc
+
+
+def _sharded_hop(plan: NodePartitionPlan, mesh: Mesh, axis: str,
+                 max_gather_rows: Optional[int] = None):
+    """One halo-exchanged propagation hop over node-sharded state.
+
+    ``max_gather_rows`` bounds the per-device [E_loc, width] gather
+    intermediates (chunk-streamed reduction) so extreme-scale graphs fit
+    each chip's HBM alongside the 1/D sketch state."""
     S = plan.shard_size
     spec_nodes = P(axis, None)      # [n_pad, width] sharded on nodes
     spec_dev = P(axis)              # leading device axis of plan arrays
@@ -376,16 +414,18 @@ def _sharded_hop(plan: NodePartitionPlan, mesh: Mesh, axis: str):
         hll_halo = jax.lax.all_to_all(hll_send, axis, 0, 0, tiled=True)
 
         # 2. local-source edges (no communication needed)
-        mh_acc = segment_min(mh[lsrc], ldst, S, mask=lmask)
-        hll_acc = segment_max(hll[lsrc], ldst, S, mask=lmask)
+        mh_acc = _chunked_seg(mh, lsrc, ldst, lmask, S, "min",
+                              max_gather_rows)
+        hll_acc = _chunked_seg(hll, lsrc, ldst, lmask, S, "max",
+                               max_gather_rows)
 
         # 3. halo-source edges against the received buffer
         mh_halo = mh_halo.reshape(-1, mh.shape[1])
         hll_halo = hll_halo.reshape(-1, hll.shape[1])
-        mh_acc = jnp.minimum(mh_acc, segment_min(mh_halo[hsrc], hdst, S,
-                                                 mask=hmask))
-        hll_acc = jnp.maximum(hll_acc, segment_max(hll_halo[hsrc], hdst, S,
-                                                   mask=hmask))
+        mh_acc = jnp.minimum(mh_acc, _chunked_seg(
+            mh_halo, hsrc, hdst, hmask, S, "min", max_gather_rows))
+        hll_acc = jnp.maximum(hll_acc, _chunked_seg(
+            hll_halo, hsrc, hdst, hmask, S, "max", max_gather_rows))
 
         # 4. own-row fold-in == the reference's self-loops
         return jnp.minimum(mh, mh_acc), jnp.maximum(hll, hll_acc)
@@ -395,12 +435,15 @@ def _sharded_hop(plan: NodePartitionPlan, mesh: Mesh, axis: str):
 
 def node_sharded_build_hash_tables(
         plan: NodePartitionPlan, params: SketchParams, mesh: Mesh,
-        init_minhash, init_hll, axis: str = "graph") -> Sketches:
+        init_minhash, init_hll, axis: str = "graph",
+        max_gather_rows: Optional[int] = None) -> Sketches:
     """All per-hop sketches with state sharded across ``axis`` by node.
 
     init_minhash/init_hll: [n_pad, width] arrays (host or device); n_pad =
     plan.padded_nodes.  Returns a Sketches pytree whose arrays are sharded
     along the node dimension — per-device memory is ~1/D of the table.
+    ``max_gather_rows`` chunk-streams the per-device edge gathers
+    (bit-exact; bounds the [E_loc, width] intermediates at extreme scale).
     """
     n_pad = plan.padded_nodes
     assert init_minhash.shape[0] == n_pad and init_hll.shape[0] == n_pad, \
@@ -413,7 +456,8 @@ def node_sharded_build_hash_tables(
         for a in (plan.send_idx, plan.send_mask, plan.local_src,
                   plan.local_dst, plan.local_mask, plan.halo_src,
                   plan.halo_dst, plan.halo_mask))
-    hop = jax.jit(_sharded_hop(plan, mesh, axis))
+    hop = jax.jit(_sharded_hop(plan, mesh, axis,
+                               max_gather_rows=max_gather_rows))
 
     @functools.partial(jax.jit, out_shardings=NamedSharding(mesh, P(axis)))
     def cards_of(h):

@@ -776,8 +776,9 @@ class ElphTrainer:
         part = make_node_partition(ds.edge_index, ds.num_nodes, D)
         mh0, hll0 = part.pad_init(
             *initialise_sketches(ds.num_nodes, self.sketch_params))
-        sk = node_sharded_build_hash_tables(part, self.sketch_params,
-                                            self.mesh, mh0, hll0)
+        sk = node_sharded_build_hash_tables(
+            part, self.sketch_params, self.mesh, mh0, hll0,
+            max_gather_rows=self.cfg.max_gather_slots)
         self._ms_graphs[split] = (ds.edge_index, ds.num_nodes)
         return {"sk_minhash": sk.minhash, "sk_hll": sk.hll,
                 "sk_cards": sk.cards,

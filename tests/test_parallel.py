@@ -482,3 +482,27 @@ def test_node_sharded_three_hop(setup):
     sf = np.asarray(node_sharded_subgraph_features(links, sk, params3, mesh,
                                                    perm=plan.perm))
     np.testing.assert_allclose(sf, sf_ref, rtol=1e-6, atol=1e-4)
+
+
+def test_node_sharded_chunked_gathers_bit_exact(setup):
+    """max_gather_rows chunk-streams the per-device edge gathers inside
+    the sharded hop (lax.scan accumulation) — must be BIT-exact with the
+    one-shot build (min/max are associative)."""
+    from subgraph_sketching_tpu.parallel import (
+        make_node_partition, node_sharded_build_hash_tables,
+    )
+    g, params, sk_ref, links = setup
+    n = g.num_nodes
+    mesh = make_mesh([8], ("graph",))
+    plan = make_node_partition(np.asarray(g.edge_index), n, 8)
+    mh0, hll0 = plan.pad_init(*initialise_sketches(n, params))
+    one = node_sharded_build_hash_tables(plan, params, mesh, mh0, hll0)
+    # tiny budget forces several scan chunks (E_loc is ~64 per device)
+    chunked = node_sharded_build_hash_tables(plan, params, mesh, mh0, hll0,
+                                             max_gather_rows=16)
+    np.testing.assert_array_equal(np.asarray(chunked.minhash),
+                                  np.asarray(one.minhash))
+    np.testing.assert_array_equal(np.asarray(chunked.hll),
+                                  np.asarray(one.hll))
+    np.testing.assert_allclose(np.asarray(chunked.cards),
+                               np.asarray(one.cards), rtol=1e-6)

@@ -38,6 +38,10 @@ def main():
     ap.add_argument("--nodes", type=int, default=12_000_000)
     ap.add_argument("--devices", type=int, default=_D)
     ap.add_argument("--deg", type=int, default=10)
+    # chunk-stream the per-device edge gathers: the [E_loc, width]
+    # intermediates would otherwise dominate memory at this scale (and on
+    # the virtual mesh all D devices' intermediates share ONE host)
+    ap.add_argument("--max-gather-rows", type=int, default=2 << 20)
     args = ap.parse_args()
 
     from subgraph_sketching_tpu.graph.synthetic import (
@@ -69,7 +73,9 @@ def main():
     print(f"hop-0 init: {time.time()-t0:.0f}s", flush=True)
 
     t0 = time.time()
-    sk = node_sharded_build_hash_tables(plan, params, mesh, mh0, hll0)
+    sk = node_sharded_build_hash_tables(
+        plan, params, mesh, mh0, hll0,
+        max_gather_rows=args.max_gather_rows)
     jax.block_until_ready(sk.cards)
     total = sk.minhash.nbytes + sk.hll.nbytes + sk.cards.nbytes
     shard = sum(a.addressable_shards[0].data.nbytes
