@@ -24,8 +24,16 @@ sys.path.insert(0, "/root/repo")
 _D = 8
 if "--devices" in sys.argv:
     _D = int(sys.argv[sys.argv.index("--devices") + 1])
-os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-                           + f" --xla_force_host_platform_device_count={_D}")
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + f" --xla_force_host_platform_device_count={_D}"
+    # XLA-CPU kills the process when collective participants arrive >40s
+    # apart ("Termination timeout ... Exiting to ensure a consistent
+    # program state") — inevitable when D virtual devices share a few
+    # cores and each runs minutes of chunked reduction before the
+    # all_to_all.  Purely a host-simulation artifact; raise the limits.
+    + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+    + " --xla_cpu_collective_call_terminate_timeout_seconds=7200")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
