@@ -27,6 +27,12 @@ CONFIGS = {
     "seal-dgcnn-synth-ws": dict(dataset_name="synth-ws", model="SEALDGCNN",
                                 epochs=3, K=50, lr=0.001, num_hops=1,
                                 max_nodes_per_hop=50),
+    # the KGE baseline tier (exceeds reference: transx.py is never wired
+    # into the upstream runner); structure-free, so it bounds what pure
+    # embeddings learn on this graph
+    "distmult-synth-ws": dict(dataset_name="synth-ws", model="distmult",
+                              epochs=30, K=50, lr=0.01,
+                              hidden_channels=256),
     "heuristics-synth-ws": None,  # RA/CN/AA via run_heuristics (1 rep)
 }
 
