@@ -131,6 +131,12 @@ class Config:
     # bigger than this stream in chunks (ops/segment_scan.ChunkedSegmentPlan)
     # so citation2-scale propagation fits one chip's HBM
     max_gather_slots: int = 8 << 20
+    # keep only hops 1..K of the sketch stacks (drop hop 0): saves 1/(K+1)
+    # of resident sketch HBM plus the stack-time transient — at citation2
+    # scale the difference between one chip and OOM.  Features are
+    # identical (the extractor reads hops 1..K); serving insert_edges
+    # needs full stacks, so leave this off for scorers you plan to update
+    hops_only_sketches: bool = False
     mesh_shape: Optional[List[int]] = None  # e.g. [8] for 8-way data parallel
     mesh_axes: List[str] = field(default_factory=lambda: ["data"])
     # memory-sharded ELPH training: sketch tables stay node-partitioned

@@ -252,7 +252,8 @@ def build_link_dataset(split_data: SplitData, cfg: Config, split: str,
                                    max_slots=cfg.max_gather_slots)
                     if cfg.use_plan else None)
             sketches = build_hash_tables(jnp.asarray(g.edge_index),
-                                         g.num_nodes, params, plan=plan)
+                                         g.num_nodes, params, plan=plan,
+                                         hops_only=cfg.hops_only_sketches)
             if hash_cache and cfg.load_hashes:
                 np.savez(hash_cache, minhash=np.asarray(sketches.minhash),
                          hll=np.asarray(sketches.hll),

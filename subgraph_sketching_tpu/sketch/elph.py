@@ -61,7 +61,7 @@ def build_hash_tables(edge_index: jnp.ndarray, num_nodes: int,
                       params: SketchParams,
                       mask: Optional[jnp.ndarray] = None,
                       init: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
-                      plan=None) -> Sketches:
+                      plan=None, hops_only: bool = False) -> Sketches:
     """All per-hop sketches + cardinalities (reference src/hashing.py:139-165).
 
     edge_index: [2, E] int32 (may be padded; pass ``mask``).
@@ -69,6 +69,10 @@ def build_hash_tables(edge_index: jnp.ndarray, num_nodes: int,
     when calling inside jit (host init is not traceable).
     plan: optional ops.segment_scan.SortedSegmentPlan for the same edges —
     the fast path (static padded-tree reduction, ~2.5x the scatter path).
+    hops_only: return K-row stacks (hops 1..K; hop 0 dropped) — the feature
+    extractor accepts both layouts, and at citation2 scale the hop-0 third
+    of the table plus the stack-time transient is the difference between
+    fitting one chip and OOM.  Serving ``insert_edges`` needs full stacks.
     """
     assert params.max_hops in (1, 2, 3), \
         f"hashing is not implemented for {params.max_hops} hops"
@@ -88,6 +92,11 @@ def build_hash_tables(edge_index: jnp.ndarray, num_nodes: int,
             mhs.append(propagate_minhash(mhs[-1], src, dst, num_nodes, mask))
             hlls.append(propagate_hll(hlls[-1], src, dst, num_nodes, mask))
         cards.append(hll_count(hlls[-1], params.hll_p))
+    if hops_only:
+        # free hop 0 BEFORE stacking: the stack transiently doubles resident
+        # bytes, and (K+1)/K of that doubling is avoidable at scale
+        mhs, hlls = mhs[1:], hlls[1:]
+        mh0 = hll0 = None
     return Sketches(minhash=jnp.stack(mhs), hll=jnp.stack(hlls),
                     cards=jnp.stack(cards, axis=1))
 

@@ -646,9 +646,9 @@ class ElphTrainer:
                     plan = (make_auto_plan(ds.edge_index, ds.num_nodes,
                                            max_slots=self.cfg.max_gather_slots)
                             if self.cfg.use_plan else None)
-                    sketches = build_hash_tables(jnp.asarray(ei),
-                                                 ds.num_nodes,
-                                                 self.sketch_params, plan=plan)
+                    sketches = build_hash_tables(
+                        jnp.asarray(ei), ds.num_nodes, self.sketch_params,
+                        plan=plan, hops_only=self.cfg.hops_only_sketches)
             if self._has_lane:
                 from subgraph_sketching_tpu.parallel.dist_sketch import (
                     lane_sharded_subgraph_features,

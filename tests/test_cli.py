@@ -103,3 +103,17 @@ def test_optional_int_flags_parse_as_int():
     defaults = make_parser().parse_args([])
     assert defaults.max_nodes_per_hop is None
     assert defaults.sample_size is None
+
+
+def test_hops_only_sketches_runner_equality():
+    """--hops_only_sketches must not change any number: the feature math
+    reads hops 1..K either way, so the full runner's metrics are equal."""
+    from subgraph_sketching_tpu.runners.run import main
+    res = {}
+    for flag in ("0", "1"):
+        res[flag] = main(["--dataset_name", "synth-ba", "--model", "BUDDY",
+                          "--hidden_channels", "16", "--batch_size", "256",
+                          "--eval_batch_size", "1024", "--epochs", "2",
+                          "--K", "20", "--platform", "cpu",
+                          "--hops_only_sketches", flag])
+    assert res["0"] == res["1"]

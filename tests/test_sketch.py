@@ -317,3 +317,23 @@ def test_subgraph_features_batched_multi_chunk_map():
     chunked = np.asarray(subgraph_features_batched(links, sk, params,
                                                    batch_size=256))
     np.testing.assert_allclose(chunked, direct, rtol=1e-6, atol=1e-5)
+
+
+def test_hops_only_build_same_features():
+    """build_hash_tables(hops_only=True) drops hop 0 from the stacks (the
+    citation2-scale HBM saver, now a production --hops_only_sketches flag);
+    features must be identical to the full-stack build."""
+    n = 300
+    ei = barabasi_albert_graph(n, 6, seed=5)
+    params = SketchParams(max_hops=2)
+    full = build_hash_tables(jnp.asarray(ei), n, params)
+    hops = build_hash_tables(jnp.asarray(ei), n, params, hops_only=True)
+    assert hops.minhash.shape[0] == params.max_hops
+    np.testing.assert_array_equal(np.asarray(hops.minhash),
+                                  np.asarray(full.minhash)[1:])
+    links = np.stack([np.arange(64), (np.arange(64) * 11 + 5) % n],
+                     1).astype(np.int32)
+    np.testing.assert_allclose(
+        np.asarray(subgraph_features(jnp.asarray(links), hops, params)),
+        np.asarray(subgraph_features(jnp.asarray(links), full, params)),
+        rtol=1e-6, atol=1e-5)
