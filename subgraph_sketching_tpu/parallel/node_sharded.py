@@ -36,7 +36,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from subgraph_sketching_tpu.ops.segment import segment_max, segment_min
-from subgraph_sketching_tpu.sketch.hll import hll_count
+from subgraph_sketching_tpu.sketch.hll import (
+    hll_count, hll_count_from_stats, pow2_neg,
+)
 from subgraph_sketching_tpu.sketch.params import SketchParams, Sketches
 
 
@@ -380,14 +382,20 @@ def _chunked_seg(table, src_idx, dst_idx, mask, S: int, op: str,
 
 
 def _sharded_hop(plan: NodePartitionPlan, mesh: Mesh, axis: str,
-                 max_gather_rows: Optional[int] = None):
+                 max_gather_rows: Optional[int] = None,
+                 lane_axis: Optional[str] = None):
     """One halo-exchanged propagation hop over node-sharded state.
 
     ``max_gather_rows`` bounds the per-device [E_loc, width] gather
     intermediates (chunk-streamed reduction) so extreme-scale graphs fit
-    each chip's HBM alongside the 1/D sketch state."""
+    each chip's HBM alongside the 1/D sketch state.
+
+    ``lane_axis``: tables additionally sharded on sketch width.  min/max
+    reduce elementwise over lanes, so the body is UNCHANGED — each lane
+    shard exchanges and reduces only its 1/L-width slice (the all_to_all
+    below runs per lane shard over the ``axis`` subgroups of the mesh)."""
     S = plan.shard_size
-    spec_nodes = P(axis, None)      # [n_pad, width] sharded on nodes
+    spec_nodes = P(axis, lane_axis)  # [n_pad, width] node x lane sharded
     spec_dev = P(axis)              # leading device axis of plan arrays
 
     @functools.partial(
@@ -436,7 +444,8 @@ def _sharded_hop(plan: NodePartitionPlan, mesh: Mesh, axis: str,
 def node_sharded_build_hash_tables(
         plan: NodePartitionPlan, params: SketchParams, mesh: Mesh,
         init_minhash, init_hll, axis: str = "graph",
-        max_gather_rows: Optional[int] = None) -> Sketches:
+        max_gather_rows: Optional[int] = None,
+        lane_axis: Optional[str] = None) -> Sketches:
     """All per-hop sketches with state sharded across ``axis`` by node.
 
     init_minhash/init_hll: [n_pad, width] arrays (host or device); n_pad =
@@ -444,11 +453,30 @@ def node_sharded_build_hash_tables(
     along the node dimension — per-device memory is ~1/D of the table.
     ``max_gather_rows`` chunk-streams the per-device edge gathers
     (bit-exact; bounds the [E_loc, width] intermediates at extreme scale).
+
+    ``lane_axis``: optionally ALSO shard the sketch width (minhash perms /
+    HLL registers) across a second mesh axis — a 2D graph x lane layout.
+    The hop's min/max reduction is elementwise over lanes, so the lane
+    dimension needs NO communication in the build: each lane shard runs
+    the same halo all_to_all on 1/L-width rows, cutting the per-hop wire
+    bytes AND the per-device state by L on top of the node split.  This is
+    the honest lever for comm-bound (random / power-law) graphs, where no
+    partition can shrink the boundary (studies/README.md round-3 notes:
+    communication-layout tricks provably cannot).  Only the cards
+    estimator crosses lanes (register stats psum, the
+    hll_count_from_stats contract shared with lane_sharded features).
+    Tables stay bit-exact; cards match the single-device estimator to f32
+    reduction order.  Requires num_perm % L == 0 and 2^hll_p % L == 0.
     """
     n_pad = plan.padded_nodes
     assert init_minhash.shape[0] == n_pad and init_hll.shape[0] == n_pad, \
         f"pad hop-0 sketches to {n_pad} rows (plan.padded_nodes)"
-    shard_rows = NamedSharding(mesh, P(axis, None))
+    if lane_axis is not None:
+        L = mesh.shape[lane_axis]
+        assert params.num_perm % L == 0 and params.m % L == 0, (
+            f"lane axis size {L} must divide num_perm={params.num_perm} "
+            f"and m={params.m}")
+    shard_rows = NamedSharding(mesh, P(axis, lane_axis))
     mh = jax.device_put(init_minhash, shard_rows)
     hll = jax.device_put(init_hll, shard_rows)
     plan_args = tuple(
@@ -457,11 +485,25 @@ def node_sharded_build_hash_tables(
                   plan.local_dst, plan.local_mask, plan.halo_src,
                   plan.halo_dst, plan.halo_mask))
     hop = jax.jit(_sharded_hop(plan, mesh, axis,
-                               max_gather_rows=max_gather_rows))
+                               max_gather_rows=max_gather_rows,
+                               lane_axis=lane_axis))
 
-    @functools.partial(jax.jit, out_shardings=NamedSharding(mesh, P(axis)))
-    def cards_of(h):
-        return hll_count(h, params.hll_p)
+    if lane_axis is None:
+        @functools.partial(jax.jit,
+                           out_shardings=NamedSharding(mesh, P(axis)))
+        def cards_of(h):
+            return hll_count(h, params.hll_p)
+    else:
+        @jax.jit
+        @functools.partial(shard_map, mesh=mesh,
+                           in_specs=(P(axis, lane_axis),),
+                           out_specs=P(axis), check_vma=False)
+        def cards_of(h):
+            # lane-partial register stats -> psum -> shared estimator core
+            nz = jax.lax.psum(
+                jnp.sum((h == 0).astype(jnp.float32), axis=-1), lane_axis)
+            ps = jax.lax.psum(jnp.sum(pow2_neg(h), axis=-1), lane_axis)
+            return hll_count_from_stats(nz, ps, params.hll_p)
 
     mhs, hlls, cards = [mh], [hll], []
     for _ in range(params.max_hops):
@@ -475,7 +517,8 @@ def node_sharded_build_hash_tables(
 
 def node_sharded_subgraph_features(
         links, sk: Sketches, params: SketchParams, mesh: Mesh,
-        axis: str = "graph", perm=None) -> jnp.ndarray:
+        axis: str = "graph", perm=None,
+        lane_axis: Optional[str] = None) -> jnp.ndarray:
     """Subgraph features for a link batch from NODE-sharded sketch state.
 
     Arbitrary (u, v) pairs need rows from arbitrary shards, so each device
@@ -488,16 +531,22 @@ def node_sharded_subgraph_features(
     whenever the sketches came from a locality-ordered partition (the
     production default); node ids in ``links`` are translated to row
     positions before the shard lookup.
+
+    ``lane_axis``: for tables built 2D graph x lane (see
+    ``node_sharded_build_hash_tables``): the row-assembly psum moves only
+    the local 1/L-width lane blocks, then jaccard match counts and HLL
+    register stats psum across lanes into the same estimator core as the
+    lane-sharded path (hll_count_from_stats) — matches the single-device
+    features to f32 reduction order.
     """
     from subgraph_sketching_tpu.sketch.elph import inclusion_exclusion_ladder
-    from subgraph_sketching_tpu.sketch.minhash import jaccard
     n_dev = mesh.shape[axis]
     n_pad = sk.minhash.shape[1]
     S = n_pad // n_dev
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P(), P(None, axis, None), P(None, axis, None),
+        in_specs=(P(), P(None, axis, lane_axis), P(None, axis, lane_axis),
                   P(axis, None)),
         out_specs=P(),
         check_vma=False)
@@ -518,15 +567,22 @@ def node_sharded_subgraph_features(
                 jnp.where(owned[0], cards[local, :], 0.0), axis)
             return mh, hl, cd
 
+        def lane_sum(x):
+            return x if lane_axis is None else jax.lax.psum(x, lane_axis)
+
         mh_u, hll_u, cu = rows_of(lnk[:, 0])
         mh_v, hll_v, cv = rows_of(lnk[:, 1])
         # identical feature math to the single-device path (sketch/elph.py);
         # the slice start adapts so K-row hops-only stacks (hop 0 dropped to
         # save HBM at citation2 scale) work like the (K+1)-row full stacks
         s0 = mh_u.shape[0] - params.max_hops
-        jac = jaccard(mh_u[s0:][:, None], mh_v[s0:][None, :])    # [K, K, B]
+        match = jnp.sum((mh_u[s0:][:, None] == mh_v[s0:][None, :])
+                        .astype(jnp.float32), axis=-1)
+        jac = lane_sum(match) / params.num_perm                  # [K, K, B]
         unions = jnp.maximum(hll_u[s0:][:, None], hll_v[s0:][None, :])
-        inter = jac * hll_count(unions, params.hll_p)
+        nz = lane_sum(jnp.sum((unions == 0).astype(jnp.float32), axis=-1))
+        ps = lane_sum(jnp.sum(pow2_neg(unions), axis=-1))
+        inter = jac * hll_count_from_stats(nz, ps, params.hll_p)
         inter = jnp.transpose(inter, (2, 0, 1))                  # [B, K, K]
         return inclusion_exclusion_ladder(inter, cu, cv, params)
 

@@ -115,7 +115,8 @@ def ici_scaling_model(num_nodes: int = 200_000, avg_deg: int = 16,
                       weak: bool = False, graph: str = "random",
                       seed: int = 0,
                       method: str = "locality",
-                      shuffle_ids: bool = False) -> Dict:
+                      shuffle_ids: bool = False,
+                      lane_shards: int = 1) -> Dict:
     """Predicted multi-chip scaling of the node-sharded sketch build.
 
     The virtual CPU mesh cannot *measure* scaling — its "devices" all share
@@ -151,6 +152,16 @@ def ici_scaling_model(num_nodes: int = 200_000, avg_deg: int = 16,
     round-2 id-order blocks).  ``shuffle_ids`` randomly relabels the nodes
     first so id order carries no accidental locality — the honest setting
     for judging the partitioner rather than the generator's id layout.
+
+    ``lane_shards`` (L): model the 2D graph x lane layout
+    (node_sharded_build_hash_tables ``lane_axis``) — each device count D
+    splits into G = D/L node shards x L lane shards.  Lanes are
+    elementwise in the hop, so per-device reduce time scales by 1/L
+    (width) and halo wire bytes by 1/L, while the node partition only has
+    to be G-way (smaller boundary than D-way).  This is the lever for
+    comm-bound graphs where no partition shrinks the boundary
+    (studies/README.md: layout tricks provably cannot).  Device counts not
+    divisible by L keep L=1 for that row.
     """
     from subgraph_sketching_tpu.parallel.node_sharded import (
         make_node_partition,
@@ -188,19 +199,25 @@ def ici_scaling_model(num_nodes: int = 200_000, avg_deg: int = 16,
     t1 = None
     for d in device_counts:
         ei, n, e = graph_for(d)
-        if d == 1:
-            t_hop = e / per_chip_edges_per_s
+        L = lane_shards if d % lane_shards == 0 else 1
+        G = d // L
+        if G == 1:
+            # all edges local; reduce runs on 1/L-width rows (L == d)
+            t_hop = e / (per_chip_edges_per_s * L)
             row = {"t_hop_ms": t_hop * 1e3, "halo_rows_per_dev": 0,
-                   "comm_bound": False}
+                   "lane_shards": L, "comm_bound": False}
         else:
-            plan = make_node_partition(ei, n, d, method=method)
-            t_local = plan.local_src.shape[1] / per_chip_edges_per_s
-            t_halo_red = plan.halo_src.shape[1] / per_chip_edges_per_s
-            halo_bytes = (d - 1) * plan.halo_width * row_bytes
+            plan = make_node_partition(ei, n, G, method=method)
+            # lanes are elementwise: a 1/L-width row reduces (and rides
+            # the wire) at 1/L the cost; the node partition is G-way
+            t_local = plan.local_src.shape[1] / (per_chip_edges_per_s * L)
+            t_halo_red = plan.halo_src.shape[1] / (per_chip_edges_per_s * L)
+            halo_bytes = (G - 1) * plan.halo_width * row_bytes / L
             t_comm = halo_bytes / ici_bytes_per_s
             t_hop = max(t_local, t_comm) + t_halo_red
             row = {"t_hop_ms": t_hop * 1e3,
-                   "halo_rows_per_dev": int((d - 1) * plan.halo_width),
+                   "halo_rows_per_dev": int((G - 1) * plan.halo_width),
+                   "lane_shards": L,
                    "comm_bound": t_comm > t_local}
         if d == min(device_counts):
             t1 = t_hop * (1 if weak else d)  # normalise to per-unit work
@@ -218,6 +235,7 @@ def ici_scaling_model(num_nodes: int = 200_000, avg_deg: int = 16,
             "graph": graph,
             "partition_method": method,
             "shuffle_ids": shuffle_ids,
+            "lane_shards": lane_shards,
             "note": ("analytic: real partition halo/edge volumes x measured "
                      "single-chip rate; CPU-mesh timings cannot measure "
                      "scaling (virtual devices share host cores)"),

@@ -506,3 +506,45 @@ def test_node_sharded_chunked_gathers_bit_exact(setup):
                                   np.asarray(one.hll))
     np.testing.assert_allclose(np.asarray(chunked.cards),
                                np.asarray(one.cards), rtol=1e-6)
+
+
+def test_node_lane_2d_sharded_matches_single_device(setup):
+    """2D graph x lane memory sharding: node-partitioned halo build with
+    the sketch WIDTH additionally sharded on a second mesh axis.  Tables
+    must stay bit-exact (lanes are elementwise in the min/max hop), cards
+    and features match to f32 reduction order (lane-partial register
+    stats psum into the shared hll_count_from_stats core), and each
+    device holds exactly 1/(G*L) of every table."""
+    from subgraph_sketching_tpu.parallel import (
+        make_node_partition, node_sharded_build_hash_tables,
+        node_sharded_subgraph_features,
+    )
+    g, params, sk_ref, links = setup
+    n = g.num_nodes
+    mesh = make_mesh([4, 2], ("graph", "lane"))
+    plan = make_node_partition(np.asarray(g.edge_index), n, 4)
+    mh0, hll0 = plan.pad_init(*initialise_sketches(n, params))
+    sk = node_sharded_build_hash_tables(plan, params, mesh, mh0, hll0,
+                                        lane_axis="lane")
+    np.testing.assert_array_equal(plan.to_node_order(sk.minhash),
+                                  np.asarray(sk_ref.minhash))
+    np.testing.assert_array_equal(plan.to_node_order(sk.hll),
+                                  np.asarray(sk_ref.hll))
+    np.testing.assert_allclose(plan.to_node_order(sk.cards),
+                               np.asarray(sk_ref.cards), rtol=1e-5)
+    for arr in (sk.minhash, sk.hll):
+        shard = arr.addressable_shards[0].data
+        assert np.prod(shard.shape) == np.prod(arr.shape) // 8, \
+            f"state not 2D-sharded: shard {shard.shape} of {arr.shape}"
+    sf_ref = np.asarray(subgraph_features(jnp.asarray(links), sk_ref,
+                                          params))
+    sf = np.asarray(node_sharded_subgraph_features(
+        links, sk, params, mesh, perm=plan.perm, lane_axis="lane"))
+    np.testing.assert_allclose(sf, sf_ref, rtol=1e-6, atol=1e-4)
+    # hops-only stacks (hop 0 dropped) must work through the lane path too
+    from subgraph_sketching_tpu.sketch.params import Sketches
+    sk_drop = Sketches(minhash=sk.minhash[1:], hll=sk.hll[1:],
+                       cards=sk.cards)
+    sf_drop = np.asarray(node_sharded_subgraph_features(
+        links, sk_drop, params, mesh, perm=plan.perm, lane_axis="lane"))
+    np.testing.assert_allclose(sf_drop, sf_ref, rtol=1e-6, atol=1e-4)

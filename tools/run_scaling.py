@@ -69,6 +69,16 @@ def main():
                                                   weak=True, graph="ws",
                                                   shuffle_ids=True,
                                                   device_counts=[1, 2, 4, 8]),
+            # 2D graph x lane sharding (round 3): lanes are elementwise in
+            # the hop, so L lane shards cut wire bytes AND per-device reduce
+            # width by L while the node partition only has to be (D/L)-way —
+            # lifts the comm-bound random-graph floor above the 0.80 bar
+            # (no partition can shrink a random graph's boundary;
+            # studies/README.md proves no comm LAYOUT can either)
+            "strong_random_lane2": ici_scaling_model(lane_shards=2),
+            "strong_random_lane4": ici_scaling_model(lane_shards=4),
+            "strong_ws_shuffled_lane2": ici_scaling_model(
+                graph="ws", shuffle_ids=True, lane_shards=2),
         },
     }
     path = os.path.join(os.path.dirname(__file__), "..",
