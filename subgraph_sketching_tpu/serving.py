@@ -28,14 +28,18 @@ from subgraph_sketching_tpu.graph.preprocess import (
 from subgraph_sketching_tpu.sketch.elph import subgraph_features
 
 
-def _pad_pow2(a: np.ndarray, min_size: int = 256) -> np.ndarray:
-    """Zero-pad a 1-D index array to the next power of two (>= min_size)."""
+def _pad_pow2(a: np.ndarray, min_size: int = 256, fill=0) -> np.ndarray:
+    """Pad a 1-D index array to the next power of two (>= min_size).
+
+    ``fill`` picks the pad value: 0 for the insert path (merging row 0's
+    previous hop into row 0 is a no-op there), a known-reset row for the
+    delete path (where padding with row 0 would wrongly reset it)."""
     size = 1 << max(min_size.bit_length() - 1, (max(len(a), 1) - 1)
                     .bit_length())
     size = max(size, min_size)
     if len(a) == size:
         return a
-    out = np.zeros(size, a.dtype)
+    out = np.full(size, fill, a.dtype)
     out[:len(a)] = a
     return out
 
@@ -280,6 +284,161 @@ class LinkScorer:
             self._out_starts = np.searchsorted(
                 self._out_sorted[0], np.arange(self.num_nodes + 1))
             self._extra_edges = np.zeros((2, 0), np.int64)
+            self._drop_in_csr()  # _in_sorted no longer mirrors _out_sorted
+
+    def _drop_in_csr(self) -> None:
+        for attr in ("_in_sorted", "_in_starts"):
+            if hasattr(self, attr):
+                delattr(self, attr)
+
+    def _in_pairs(self, dsts: np.ndarray) -> np.ndarray:
+        """All current (src, dst) edges whose dst is in ``dsts`` (dst-sorted
+        CSR over ``_out_sorted`` built lazily; ``_extra_edges`` scanned by
+        dst, mirroring ``_out_pairs``)."""
+        if not hasattr(self, "_in_sorted"):
+            self._out_pairs(np.zeros(0, np.int64))  # ensure CSR exists
+            order = np.argsort(self._out_sorted[1], kind="stable")
+            self._in_sorted = self._out_sorted[:, order]
+            self._in_starts = np.searchsorted(
+                self._in_sorted[1], np.arange(self.num_nodes + 1))
+        lo = self._in_starts[dsts]
+        hi = self._in_starts[dsts + 1]
+        counts = hi - lo
+        total = int(counts.sum())
+        idx = (np.repeat(lo, counts)
+               + np.arange(total)
+               - np.repeat(np.cumsum(counts) - counts, counts))
+        pairs = self._in_sorted[:, idx].T
+        if self._extra_edges.shape[1]:
+            m = np.isin(self._extra_edges[1], dsts)
+            pairs = np.concatenate([pairs, self._extra_edges[:, m].T])
+        return pairs
+
+    def delete_edges(self, edges: np.ndarray, weights=None,
+                     undirected: bool = True) -> None:
+        """EXACT streaming edge deletion — no reference equivalent.
+
+        Min/max sketches are NOT invertible (a deleted neighbour's hash may
+        be the row minimum), so deletion cannot be an incremental merge like
+        :meth:`insert_edges`.  It is still exact and LOCAL: hop-k rows only
+        depend on hop-(k-1) rows of {v} ∪ in(v) (``propagate_minhash``,
+        sketch/elph.py:31-49), so the affected set grows one hop per level —
+        A_1 = dst(removed), A_k = A_1 ∪ A_{k-1} ∪ out(A_{k-1}) — and each
+        affected row is rebuilt from scratch per hop: reset to the merge
+        identity (0xFFFFFFFF / 0 — HLL ranks are ≥ 0), then re-merge the
+        surviving in-edges plus the self fold-in.  The result is BIT-equal
+        to a from-scratch rebuild on the reduced graph (tested) at
+        O(Σ_k vol(A_k)) cost instead of O(E·K).  Degrees and the RA CSR
+        update too; SIGN node features stay as precomputed offline (same
+        staleness contract as :meth:`insert_edges`).
+
+        edges: [M, 2] int node pairs; every given directed pair (both
+        directions under ``undirected=True``) must currently be present —
+        validated BEFORE any state mutation.  All stored copies of a given
+        pair are removed; ``weights`` (default 1.0 each) must match the
+        total stored weight per pair or degrees/RA drift.
+        """
+        if self.sk_perm is not None:
+            raise NotImplementedError(
+                "delete_edges on node-sharded (position-ordered) serving "
+                "state is not supported; rebuild the scorer")
+        K = self.sketch_params.max_hops
+        if self.sk is not None and int(self.sk.minhash.shape[0]) != K + 1:
+            raise NotImplementedError(
+                "delete_edges needs the full hop-0..K sketch stacks "
+                "(hops-only stacks drop the hop-0 rows the rebuild reads)")
+        edges = np.asarray(edges, dtype=np.int64)
+        if edges.ndim != 2 or edges.shape[1] != 2:
+            raise ValueError(f"edges must be [M, 2], got {edges.shape}")
+        if len(edges) == 0:
+            return
+        if edges.min() < 0 or edges.max() >= self.num_nodes:
+            raise ValueError("edge endpoint out of range "
+                             f"[0, {self.num_nodes})")
+        w = (np.ones(len(edges), np.float32) if weights is None
+             else np.asarray(weights, np.float32))
+        if undirected:
+            edges = np.concatenate([edges, edges[:, ::-1]])
+            w = np.concatenate([w, w])
+        # existence check BEFORE any mutation: a raise must never leave
+        # degrees/RA updated against un-updated sketches/adjacency
+        self._out_pairs(np.zeros(0, np.int64))  # ensure CSR exists
+        key = lambda s, d: s * np.int64(self.num_nodes) + d
+        delkeys = np.unique(key(edges[:, 0], edges[:, 1]))
+        out_keys = key(self._out_sorted[0], self._out_sorted[1])
+        extra_keys = key(self._extra_edges[0], self._extra_edges[1])
+        mask_out = np.isin(out_keys, delkeys)
+        mask_extra = np.isin(extra_keys, delkeys)
+        present = np.concatenate([out_keys[mask_out], extra_keys[mask_extra]])
+        missing = delkeys[~np.isin(delkeys, present)]
+        if len(missing):
+            s, d = missing // self.num_nodes, missing % self.num_nodes
+            raise ValueError(
+                "delete_edges: not present in the graph: "
+                f"{list(zip(s[:5].tolist(), d[:5].tolist()))}"
+                f"{' …' if len(missing) > 5 else ''}")
+        # adjacency: drop the rows, rebuild the starts, invalidate _in_sorted
+        self._out_sorted = self._out_sorted[:, ~mask_out]
+        self._out_starts = np.searchsorted(
+            self._out_sorted[0], np.arange(self.num_nodes + 1))
+        self._extra_edges = self._extra_edges[:, ~mask_extra]
+        self._drop_in_csr()
+        # degrees / RA CSR (same orientation as insert_edges)
+        self.deg = self.deg.at[jnp.asarray(edges[:, 1])].add(
+            -jnp.asarray(w))
+        if self.ra_csr is not None:
+            import scipy.sparse as ssp
+            self.ra_csr = (self.ra_csr - ssp.csr_matrix(
+                (w, (edges[:, 0], edges[:, 1])),
+                shape=(self.num_nodes, self.num_nodes))).tocsr()
+            self.ra_csr.eliminate_zeros()
+        if self.sk is None:
+            return
+        from subgraph_sketching_tpu.sketch.params import Sketches
+        mh, hll, cards = self.sk.minhash, self.sk.hll, self.sk.cards
+        dst_removed = np.unique(edges[:, 1])
+        rows = dst_removed
+        for k in range(1, K + 1):
+            if k > 1:
+                out = self._out_pairs(rows)
+                grown = [dst_removed, rows]
+                if len(out):
+                    grown.append(out[:, 1])
+                rows = np.unique(np.concatenate(grown))
+            pairs = self._in_pairs(rows)
+            pairs = np.concatenate([pairs, np.stack([rows, rows], axis=1)])
+            # pad with a row that is being reset anyway (rows[0]): its
+            # self-pair re-merge and repeated reset/card are idempotent.
+            # Padding with row 0 (the insert convention) would RESET row 0
+            # without rebuilding its full in-neighbourhood.
+            fill = rows[0]
+            mh, hll, cards = self._del_update_jit()(
+                mh, hll, cards,
+                jnp.asarray(_pad_pow2(pairs[:, 0], fill=fill)),
+                jnp.asarray(_pad_pow2(pairs[:, 1], fill=fill)),
+                jnp.asarray(_pad_pow2(rows, fill=fill)), k)
+        self.sk = Sketches(minhash=mh, hll=hll, cards=cards)
+
+    def _del_update_jit(self):
+        """One jitted, buffer-donating per-hop rebuild for delete_edges:
+        reset the affected hop-k rows to the merge identity, scatter-merge
+        the surviving in-edges' hop-(k-1) rows (self fold-in arrives as
+        explicit (v, v) pairs), recompute the touched cardinalities."""
+        if not hasattr(self, "_del_jit"):
+            from subgraph_sketching_tpu.sketch.hll import hll_count
+            p = self.sketch_params.hll_p
+
+            def upd(mh, hll, cards, s_idx, d_idx, rows, k):
+                mh = mh.at[k, rows].set(jnp.uint32(0xFFFFFFFF))
+                hll = hll.at[k, rows].set(jnp.int8(0))
+                mh = mh.at[k, d_idx].min(mh[k - 1, s_idx])
+                hll = hll.at[k, d_idx].max(hll[k - 1, s_idx])
+                cards = cards.at[rows, k - 1].set(hll_count(hll[k, rows], p))
+                return mh, hll, cards
+
+            self._del_jit = jax.jit(upd, static_argnums=(6,),
+                                    donate_argnums=(0, 1, 2))
+        return self._del_jit
 
     def _hop_update_jit(self):
         """One jitted, buffer-donating hop update: scatters in place on

@@ -404,3 +404,166 @@ def test_insert_edges_weighted_with_RA():
     q = np.stack([rng.integers(0, n, 96), rng.integers(0, n, 96)],
                  1).astype(np.int32)
     np.testing.assert_allclose(a.score(q), b.score(q), rtol=1e-5, atol=1e-5)
+
+
+def test_delete_edges_exact_vs_rebuild():
+    """Streaming deletion is EXACT: a scorer updated with delete_edges must
+    produce bit-level-equal sketch state — and identical scores — to a
+    scorer built from scratch on the REDUCED graph.  Min/max sketches are
+    not invertible, so deletion rebuilds the affected rows per hop (reset
+    to identity + re-merge surviving in-edges); the affected set grows one
+    hop per level."""
+    from subgraph_sketching_tpu.graph import Graph
+    from subgraph_sketching_tpu.graph.splits import SplitData
+    from subgraph_sketching_tpu.graph.synthetic import watts_strogatz_graph
+
+    n = 300
+    ei_full = watts_strogatz_graph(n, 8, 0.1, seed=9)
+    und = ei_full[:, ei_full[0] < ei_full[1]]
+    rng = np.random.default_rng(0)
+    drop = rng.choice(und.shape[1], 20, replace=False)
+    dropped = und[:, drop]                       # [2, 20] u < v
+    keep = np.ones(und.shape[1], bool)
+    keep[drop] = False
+    kept = und[:, keep]
+    ei_small = np.concatenate([kept, kept[::-1]], axis=1)
+    order = np.lexsort((ei_small[1], ei_small[0]))
+    ei_small = ei_small[:, order]
+
+    cfg = Config(dataset_name="synth-ws", hidden_channels=16, batch_size=256,
+                 eval_batch_size=1024, model="BUDDY", K=20, use_feature=False)
+    links = np.stack([rng.integers(0, n, 200),
+                      rng.integers(0, n, 200)], 1).astype(np.int32)
+
+    def make_scorer(ei):
+        g = Graph(ei, n)
+        sd = SplitData(graph=g, pos_edges=links[:100], neg_edges=links[100:])
+        ds = build_link_dataset(sd, cfg, "train")
+        tr = BuddyTrainer(cfg, ds, None)
+        state = tr.init_state(jax.random.PRNGKey(0))
+        return LinkScorer(tr, ds, state, min_bucket=64)
+
+    scorer_full = make_scorer(ei_full)
+    scorer_small = make_scorer(ei_small)
+    queries = np.stack([rng.integers(0, n, 128),
+                        rng.integers(0, n, 128)], 1).astype(np.int32)
+    before = scorer_full.score(queries)
+    scorer_full.delete_edges(dropped.T)          # undirected pairs
+    np.testing.assert_array_equal(np.asarray(scorer_full.sk.minhash),
+                                  np.asarray(scorer_small.sk.minhash))
+    np.testing.assert_array_equal(np.asarray(scorer_full.sk.hll),
+                                  np.asarray(scorer_small.sk.hll))
+    np.testing.assert_allclose(np.asarray(scorer_full.sk.cards),
+                               np.asarray(scorer_small.sk.cards),
+                               rtol=1e-6, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(scorer_full.deg),
+                               np.asarray(scorer_small.deg))
+    after = scorer_full.score(queries)
+    want = scorer_small.score(queries)
+    np.testing.assert_allclose(after, want, rtol=1e-5, atol=1e-5)
+    assert not np.allclose(before, want)         # the delete mattered
+    # two sequential delete batches hit the rebuilt-CSR path
+    scorer_two = make_scorer(ei_full)
+    scorer_two.delete_edges(dropped.T[:7])
+    scorer_two.delete_edges(dropped.T[7:])
+    np.testing.assert_array_equal(np.asarray(scorer_two.sk.minhash),
+                                  np.asarray(scorer_small.sk.minhash))
+    np.testing.assert_array_equal(np.asarray(scorer_two.sk.hll),
+                                  np.asarray(scorer_small.sk.hll))
+    # insert-then-delete roundtrip restores the original state bit-exactly
+    # (covers deleting out of _extra_edges before the fold-in)
+    scorer_rt = make_scorer(ei_small)
+    golden_mh = np.asarray(scorer_rt.sk.minhash).copy()
+    golden_deg = np.asarray(scorer_rt.deg).copy()
+    scorer_rt.insert_edges(dropped.T)
+    scorer_rt.delete_edges(dropped.T)
+    np.testing.assert_array_equal(np.asarray(scorer_rt.sk.minhash), golden_mh)
+    np.testing.assert_array_equal(np.asarray(scorer_rt.sk.hll),
+                                  np.asarray(scorer_small.sk.hll))
+    np.testing.assert_allclose(np.asarray(scorer_rt.deg), golden_deg)
+
+
+def test_delete_edges_weighted_with_RA():
+    """Weighted deletion with --use_RA: degrees, the RA CSR, and the
+    sketches must all equal a from-scratch scorer on the reduced WEIGHTED
+    graph."""
+    from subgraph_sketching_tpu.graph import Graph
+    from subgraph_sketching_tpu.graph.splits import SplitData
+    from subgraph_sketching_tpu.graph.synthetic import watts_strogatz_graph
+
+    n = 200
+    ei_full = watts_strogatz_graph(n, 6, 0.1, seed=11)
+    und = ei_full[:, ei_full[0] < ei_full[1]]
+    rng = np.random.default_rng(1)
+    w_und = rng.integers(1, 4, und.shape[1]).astype(np.float32)
+    drop = rng.choice(und.shape[1], 10, replace=False)
+    keep = np.ones(und.shape[1], bool)
+    keep[drop] = False
+
+    def sym(e, w):
+        ei = np.concatenate([e, e[::-1]], axis=1)
+        ww = np.concatenate([w, w])
+        order = np.lexsort((ei[1], ei[0]))
+        return ei[:, order], ww[order]
+
+    ei_s, w_s = sym(und[:, keep], w_und[keep])
+    ei_f, w_f = sym(und, w_und)
+    cfg = Config(dataset_name="synth-ws", hidden_channels=16, batch_size=256,
+                 eval_batch_size=1024, model="BUDDY", K=20,
+                 use_feature=False, use_RA=True)
+    links = np.stack([rng.integers(0, n, 100),
+                      rng.integers(0, n, 100)], 1).astype(np.int32)
+
+    def make(ei, w):
+        g = Graph(ei, n, w)
+        sd = SplitData(graph=g, pos_edges=links[:50], neg_edges=links[50:])
+        ds = build_link_dataset(sd, cfg, "train")
+        tr = BuddyTrainer(cfg, ds, None)
+        state = tr.init_state(jax.random.PRNGKey(0))
+        return LinkScorer(tr, ds, state, min_bucket=64)
+
+    a, b = make(ei_f, w_f), make(ei_s, w_s)
+    a.delete_edges(und[:, drop].T, weights=w_und[drop])
+    np.testing.assert_allclose(np.asarray(a.deg), np.asarray(b.deg),
+                               atol=1e-5)
+    np.testing.assert_allclose((a.ra_csr - b.ra_csr).toarray(), 0)
+    np.testing.assert_array_equal(np.asarray(a.sk.minhash),
+                                  np.asarray(b.sk.minhash))
+    q = np.stack([rng.integers(0, n, 96), rng.integers(0, n, 96)],
+                 1).astype(np.int32)
+    np.testing.assert_allclose(a.score(q), b.score(q), rtol=1e-5, atol=1e-5)
+
+
+def test_delete_edges_missing_edge_is_atomic():
+    """Deleting a pair that is not in the graph raises BEFORE any state
+    mutation: degrees, sketches, and adjacency are untouched."""
+    from subgraph_sketching_tpu.graph import Graph
+    from subgraph_sketching_tpu.graph.splits import SplitData
+    from subgraph_sketching_tpu.graph.synthetic import watts_strogatz_graph
+
+    n = 100
+    ei = watts_strogatz_graph(n, 4, 0.1, seed=3)
+    rng = np.random.default_rng(2)
+    links = np.stack([rng.integers(0, n, 60),
+                      rng.integers(0, n, 60)], 1).astype(np.int32)
+    cfg = Config(dataset_name="synth-ws", hidden_channels=16, batch_size=256,
+                 eval_batch_size=1024, model="BUDDY", K=20, use_feature=False)
+    g = Graph(ei, n)
+    sd = SplitData(graph=g, pos_edges=links[:30], neg_edges=links[30:])
+    ds = build_link_dataset(sd, cfg, "train")
+    tr = BuddyTrainer(cfg, ds, None)
+    state = tr.init_state(jax.random.PRNGKey(0))
+    scorer = LinkScorer(tr, ds, state, min_bucket=64)
+    mh0 = np.asarray(scorer.sk.minhash).copy()
+    deg0 = np.asarray(scorer.deg).copy()
+    # find a pair NOT in the graph
+    have = set(map(tuple, ei.T.tolist()))
+    missing = next((u, v) for u in range(n) for v in range(n)
+                   if u != v and (u, v) not in have)
+    present = tuple(ei[:, 0].tolist())
+    with pytest.raises(ValueError, match="not present"):
+        scorer.delete_edges(np.array([present, missing]))
+    np.testing.assert_array_equal(np.asarray(scorer.sk.minhash), mh0)
+    np.testing.assert_allclose(np.asarray(scorer.deg), deg0)
+    # edge count unchanged => the present pair was not removed either
+    assert scorer._out_sorted.shape[1] == ei.shape[1]

@@ -1,8 +1,9 @@
 """The real-data quality gate: run the reference README reproduction
 commands through this framework's runner and record a QUALITY artifact.
 
-The five BASELINE.md quality configs (reference README.md:69-80 verbatim
-flags) are wired here.  For each one the tool:
+The five BASELINE.md quality configs plus the README's ogbl-ppa/ddi
+commands (reference README.md:69-80 verbatim flags) are wired here.  For
+each one the tool:
 
   1. detects whether its dataset is on disk (Planetoid raw files under
      <data_root>/<name>/raw/, OGB layout under <data_root>/ogbl_*/ — the
@@ -62,6 +63,28 @@ CONFIGS = {
                  "--label_dropout", "0.8", "--sign_k", "3", "--batch_size",
                  "261424", "--eval_batch_size", "522848",
                  "--cache_subgraph_features", "--model", "BUDDY"],
+    },
+    # the remaining two reference README commands (README.md:77-79; not in
+    # BASELINE.md's five-config target set, included for full coverage).
+    # The ppa line fixes the README's literal typos
+    # ("----use_zero_one 1 model BUDDY") to their evident intent.
+    "ppa-buddy": {
+        "metric": "Hits@100", "target": 49.9,
+        "args": ["--dataset_name", "ogbl-ppa", "--label_dropout", "0.1",
+                 "--use_feature", "0", "--use_RA", "1", "--lr", "0.03",
+                 "--epochs", "100", "--hidden_channels", "256",
+                 "--cache_subgraph_features", "--add_normed_features", "1",
+                 "--use_zero_one", "1", "--model", "BUDDY"],
+    },
+    "ddi-buddy": {
+        "metric": "Hits@20", "target": 78.5,
+        "args": ["--dataset_name", "ogbl-ddi", "--K", "20",
+                 "--train_node_embedding", "--propagate_embeddings",
+                 "--label_dropout", "0.25", "--epochs", "150",
+                 "--hidden_channels", "256", "--lr", "0.0015",
+                 "--num_negs", "6", "--use_feature", "0", "--sign_k", "2",
+                 "--cache_subgraph_features", "--batch_size", "131072",
+                 "--model", "BUDDY"],
     },
 }
 
