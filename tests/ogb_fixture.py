@@ -101,3 +101,60 @@ def write_citation2_fixture(root: str, num_nodes: int = 80, seed: int = 1
     torch.save(split_dict(15, True), os.path.join(split, "valid.pt"))
     torch.save(split_dict(15, True), os.path.join(split, "test.pt"))
     return base
+
+def write_ddi_fixture(root: str, num_nodes: int = 60, seed: int = 2) -> str:
+    """A tiny ogbl_ddi tree: undirected raw edges stored ONE direction
+    (add_inverse_edge=True), NO node-feat file (ddi is featureless),
+    split/target/*.pt with edge (+ edge_neg for eval)."""
+    rng = np.random.default_rng(seed)
+    base = os.path.join(root, "ogbl_ddi")
+    raw = os.path.join(base, "raw")
+    split = os.path.join(base, "split", "target")
+    os.makedirs(raw, exist_ok=True)
+    os.makedirs(split, exist_ok=True)
+
+    def rnd_edges(k):
+        e = rng.integers(0, num_nodes, (k, 2), dtype=np.int64)
+        return e[e[:, 0] != e[:, 1]]
+
+    tr, va, te = rnd_edges(150), rnd_edges(30), rnd_edges(30)
+    _write_csv_gz(os.path.join(raw, "edge.csv.gz"), tr)
+    _write_csv_gz(os.path.join(raw, "num-node-list.csv.gz"),
+                  np.array([num_nodes]))
+    torch.save({"edge": torch.as_tensor(tr)},
+               os.path.join(split, "train.pt"))
+    for name, e in (("valid", va), ("test", te)):
+        torch.save({"edge": torch.as_tensor(e),
+                    "edge_neg": torch.as_tensor(rnd_edges(40))},
+                   os.path.join(split, f"{name}.pt"))
+    return base
+
+
+def write_ppa_fixture(root: str, num_nodes: int = 70, seed: int = 3) -> str:
+    """A tiny ogbl_ppa tree: undirected raw edges stored ONE direction
+    (add_inverse_edge=True), one-hot-ish node features,
+    split/throughput/*.pt with edge (+ edge_neg for eval)."""
+    rng = np.random.default_rng(seed)
+    base = os.path.join(root, "ogbl_ppa")
+    raw = os.path.join(base, "raw")
+    split = os.path.join(base, "split", "throughput")
+    os.makedirs(raw, exist_ok=True)
+    os.makedirs(split, exist_ok=True)
+
+    def rnd_edges(k):
+        e = rng.integers(0, num_nodes, (k, 2), dtype=np.int64)
+        return e[e[:, 0] != e[:, 1]]
+
+    tr, va, te = rnd_edges(160), rnd_edges(30), rnd_edges(30)
+    _write_csv_gz(os.path.join(raw, "edge.csv.gz"), tr)
+    _write_csv_gz(os.path.join(raw, "num-node-list.csv.gz"),
+                  np.array([num_nodes]))
+    feat = np.eye(8, dtype=np.float32)[rng.integers(0, 8, num_nodes)]
+    _write_csv_gz(os.path.join(raw, "node-feat.csv.gz"), feat)
+    torch.save({"edge": torch.as_tensor(tr)},
+               os.path.join(split, "train.pt"))
+    for name, e in (("valid", va), ("test", te)):
+        torch.save({"edge": torch.as_tensor(e),
+                    "edge_neg": torch.as_tensor(rnd_edges(40))},
+                   os.path.join(split, f"{name}.pt"))
+    return base

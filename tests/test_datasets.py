@@ -421,3 +421,54 @@ def test_train_negative_disk_cache(tmp_path):
     get_data(cfg_c)
     assert os.path.exists(os.path.join(
         fresh, "ogbl-collab_negative_samples_seed0.npz"))
+
+
+def test_ogb_raw_layout_ddi_and_ppa(tmp_path):
+    """ddi (featureless, split/target) and ppa (split/throughput) parse
+    from the byte-mirrored layout; ddi's missing node-feat becomes the
+    reference's all-ones [N, 1] stand-in (src/data.py ddi handling)."""
+    from tests.ogb_fixture import write_ddi_fixture, write_ppa_fixture
+    from subgraph_sketching_tpu.graph.datasets import load_ogb_raw
+
+    write_ddi_fixture(str(tmp_path))
+    data, split_edge = load_ogb_raw("ogbl-ddi", str(tmp_path))
+    assert data["node_feat"] is None
+    E1 = len(np.asarray(split_edge["train"]["edge"]))
+    assert data["edge_index"].shape == (2, 2 * E1)   # inverse added
+    cfg = Config(dataset_name="ogbl-ddi", data_root=str(tmp_path))
+    splits, directed, metric = get_data(cfg)
+    assert not directed and metric == "hits"
+    x = splits["train"].graph.x
+    assert x.shape[1] == 1 and np.all(x == 1.0)
+
+    write_ppa_fixture(str(tmp_path))
+    data, split_edge = load_ogb_raw("ogbl-ppa", str(tmp_path))
+    assert data["node_feat"].shape[1] == 8
+    assert "edge_neg" in split_edge["valid"]
+    cfg = Config(dataset_name="ogbl-ppa", data_root=str(tmp_path))
+    splits, directed, metric = get_data(cfg)
+    assert not directed and metric == "hits"
+    assert splits["train"].graph.x.shape[1] == 8
+
+
+def test_repro_baseline_gate_ddi(tmp_path):
+    """The gate's ddi-buddy config (the reference README ddi command:
+    featureless, trained + SIGN-propagated node embeddings, sign_k 2)
+    runs end-to-end on the byte-mirrored fixture and writes a Hits@20
+    row."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    import repro_baseline
+    from tests.ogb_fixture import write_ddi_fixture
+
+    write_ddi_fixture(str(tmp_path))
+    art = str(tmp_path / "Q.json")
+    repro_baseline.main(["--only", "ddi-buddy", "--reps", "1",
+                         "--epochs", "2", "--data_root", str(tmp_path),
+                         "--out", art])
+    import json
+    with open(art) as f:
+        q = json.load(f)
+    row = q["ddi-buddy"]
+    assert row["metric"] == "Hits@20" and row["reps"] == 1
+    assert np.isfinite(row["test_mean"]) and "command" in row
