@@ -265,7 +265,12 @@ class SortedSegmentPlan:
         v = red(v, axis=1)                              # [S, W]
         seg = {"min": jax.ops.segment_min, "max": jax.ops.segment_max,
                "add": jax.ops.segment_sum}[op]
-        agg = seg(v, sdst, num_segments=self.num_segments)
+        # sub_dst is non-decreasing by construction (the slot table is
+        # dst-sorted); telling XLA makes the scatter a sorted-segment
+        # reduction — measured 16% off the whole hop on v5e
+        # (tools/probe_sorted_seg.py: 39.6 -> 34.0 ms at 3.2M edges)
+        agg = seg(v, sdst, num_segments=self.num_segments,
+                  indices_are_sorted=True)
         if op == "add":
             return agg
         # empty segments hold the dtype identity extremum; combining with the
@@ -346,8 +351,10 @@ class SortedSegmentPlan:
         # unpack at sub-run granularity (8x smaller than slot granularity)
         sub_hll = jax.lax.bitcast_convert_type(vh[:, 0], jnp.int8).reshape(
             self.num_subruns, m)
-        agg_m = jax.ops.segment_min(vm[:, 0], self.sub_dst, num_segments=n)
-        agg_h = jax.ops.segment_max(sub_hll, self.sub_dst, num_segments=n)
+        agg_m = jax.ops.segment_min(vm[:, 0], self.sub_dst, num_segments=n,
+                                    indices_are_sorted=True)
+        agg_h = jax.ops.segment_max(sub_hll, self.sub_dst, num_segments=n,
+                                    indices_are_sorted=True)
         out_mh = jnp.minimum(mh, agg_m)
         out_hll = jnp.maximum(hll, agg_h)
         return out_mh, out_hll
@@ -491,7 +498,11 @@ class ChunkedSegmentPlan:
                 v = v * w.reshape((-1,) + (1,) * (v.ndim - 1)).astype(v.dtype)
             v = v.reshape((self.per_chunk, self.sub_len) + x.shape[1:])
             red = {"min": jnp.min, "max": jnp.max, "add": jnp.sum}[op]
-            part = seg(red(v, axis=1), slocal, num_segments=R + 1)[:R]
+            # sub_local is non-decreasing per chunk (dst-sorted slots; pad
+            # tails get the max segment R), same sorted-scatter win as the
+            # one-shot plan
+            part = seg(red(v, axis=1), slocal, num_segments=R + 1,
+                       indices_are_sorted=True)[:R]
             cur = jax.lax.dynamic_slice_in_dim(out, lo, R, axis=0)
             return jax.lax.dynamic_update_slice_in_dim(
                 out, combine(cur, part), lo, axis=0), None
