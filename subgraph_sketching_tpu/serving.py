@@ -175,6 +175,40 @@ class LinkScorer:
             self.score(np.zeros((b, 2), np.int32))
 
     # -- streaming updates ----------------------------------------------------
+    def _pos(self, ids: np.ndarray) -> np.ndarray:
+        """node id -> sketch-table row position.  Identity without a
+        partition perm; otherwise the locality-partition layout
+        (NodePartitionPlan.perm) — streaming updates scatter into row
+        POSITIONS while the adjacency/affected-set walk stays in node ids."""
+        ids = np.asarray(ids, dtype=np.int64)
+        if self.sk_perm is None:
+            return ids
+        if not hasattr(self, "_perm_np"):
+            self._perm_np = np.asarray(self.sk_perm, dtype=np.int64)
+        return self._perm_np[ids]
+
+    def _stack_is_full(self) -> bool:
+        """True for hop-0..K stacks; False for K-row hops-only stacks
+        (hop 0 dropped to save HBM at citation2 scale)."""
+        return int(self.sk.minhash.shape[0]) == self.sketch_params.max_hops + 1
+
+    def _hop0_rows_padded(self, ids: np.ndarray, size: int):
+        """Hop-0 sketch rows for the given node ids, padded to ``size``
+        rows with the merge identities (minhash 0xFFFFFFFF / HLL 0 — a
+        strict no-op wherever the pad scatters).  Hop-0 is a pure per-id
+        function (sketch/node_hash.py), so hops-only stacks can stream
+        updates without ever holding the O(n) hop-0 table."""
+        from subgraph_sketching_tpu.sketch.hll import hll_init_rows
+        from subgraph_sketching_tpu.sketch.minhash import minhash_init_rows
+        P = self.sketch_params.num_perm
+        m = self.sketch_params.m
+        mh = np.full((size, P), 0xFFFFFFFF, np.uint32)
+        hl = np.zeros((size, m), np.int8)
+        mh[:len(ids)] = minhash_init_rows(ids, P,
+                                          self.sketch_params.minhash_seed)
+        hl[:len(ids)] = hll_init_rows(ids, self.sketch_params.hll_p)
+        return jnp.asarray(mh), jnp.asarray(hl)
+
     def _out_pairs(self, srcs: np.ndarray) -> np.ndarray:
         """All current (src, dst) edges whose src is in ``srcs`` — original
         message graph + every edge inserted since (src-sorted CSR built
@@ -214,20 +248,19 @@ class LinkScorer:
         precomputed offline — the same staleness the reference's cached
         features have.
 
+        Works on every serving configuration: full hop-0..K stacks,
+        hops-only stacks (hop-0 source rows are recomputed per touched id —
+        hop 0 is a pure per-id function, sketch/node_hash.py — so the O(n)
+        hop-0 table never needs to exist), and node-sharded
+        (position-ordered) state (the affected-set walk stays in node ids;
+        scatters translate through the partition perm).
+
         edges: [M, 2] int node pairs; ``undirected=True`` (the message
         graphs here are undirected) inserts both directions.
         """
         # ALL validation before ANY state mutation: a raise must never
         # leave degrees/RA updated against un-updated sketches
-        if self.sk_perm is not None:
-            raise NotImplementedError(
-                "insert_edges on node-sharded (position-ordered) serving "
-                "state is not supported; rebuild the scorer")
         K = self.sketch_params.max_hops
-        if self.sk is not None and int(self.sk.minhash.shape[0]) != K + 1:
-            raise NotImplementedError(
-                "insert_edges needs the full hop-0..K sketch stacks "
-                "(hops-only stacks drop the hop-0 rows the update reads)")
         edges = np.asarray(edges, dtype=np.int64)
         if edges.ndim != 2 or edges.shape[1] != 2:
             raise ValueError(f"edges must be [M, 2], got {edges.shape}")
@@ -253,6 +286,7 @@ class LinkScorer:
             return
         from subgraph_sketching_tpu.sketch.params import Sketches
         self._out_pairs(np.zeros(0, np.int64))  # ensure CSR exists
+        full = self._stack_is_full()
         mh, hll, cards = self.sk.minhash, self.sk.hll, self.sk.cards
         pairs = edges
         changed = None
@@ -263,13 +297,24 @@ class LinkScorer:
                     np.stack([changed, changed], axis=1)])  # self fold-in
             changed = np.unique(pairs[:, 1])
             # pad to power-of-two buckets so repeat inserts hit the jit
-            # cache; padding with (0, 0) pairs / row 0 is a no-op (hop-k
-            # rows already contain their own hop-(k-1) row — self fold-in —
-            # and re-deriving row 0's cardinality is idempotent)
-            mh, hll, cards = self._hop_update_jit()(
-                mh, hll, cards, jnp.asarray(_pad_pow2(pairs[:, 0])),
-                jnp.asarray(_pad_pow2(pairs[:, 1])),
-                jnp.asarray(_pad_pow2(changed)), k)
+            # cache; padding with (0, 0) pairs / position 0 is a no-op
+            # (hop-k rows already contain their own hop-(k-1) row — self
+            # fold-in — and re-deriving a cardinality is idempotent)
+            kst = k if full else k - 1          # stack index of hop k
+            d_idx = _pad_pow2(self._pos(pairs[:, 1]))
+            rows = _pad_pow2(self._pos(changed))
+            if full or k >= 2:
+                mh, hll, cards = self._hop_update_jit()(
+                    mh, hll, cards,
+                    jnp.asarray(_pad_pow2(self._pos(pairs[:, 0]))),
+                    jnp.asarray(d_idx), jnp.asarray(rows), kst, k - 1)
+            else:
+                # hops-only stack, k == 1: hop-0 source rows recomputed by
+                # node id (padded with merge identities — strict no-ops)
+                s_mh, s_hll = self._hop0_rows_padded(pairs[:, 0], len(d_idx))
+                mh, hll, cards = self._hop0_update_jit()(
+                    mh, hll, cards, s_mh, s_hll,
+                    jnp.asarray(d_idx), jnp.asarray(rows), kst, k - 1)
         self.sk = Sketches(minhash=mh, hll=hll, cards=cards)
         self._extra_edges = np.concatenate([self._extra_edges, edges.T],
                                            axis=1)
@@ -332,21 +377,18 @@ class LinkScorer:
         update too; SIGN node features stay as precomputed offline (same
         staleness contract as :meth:`insert_edges`).
 
+        Works on every serving configuration — full stacks, hops-only
+        stacks (hop-1 rebuilds re-derive the needed hop-0 source rows per
+        id), and node-sharded (position-ordered) state — matching
+        :meth:`insert_edges`.
+
         edges: [M, 2] int node pairs; every given directed pair (both
         directions under ``undirected=True``) must currently be present —
         validated BEFORE any state mutation.  All stored copies of a given
         pair are removed; ``weights`` (default 1.0 each) must match the
         total stored weight per pair or degrees/RA drift.
         """
-        if self.sk_perm is not None:
-            raise NotImplementedError(
-                "delete_edges on node-sharded (position-ordered) serving "
-                "state is not supported; rebuild the scorer")
         K = self.sketch_params.max_hops
-        if self.sk is not None and int(self.sk.minhash.shape[0]) != K + 1:
-            raise NotImplementedError(
-                "delete_edges needs the full hop-0..K sketch stacks "
-                "(hops-only stacks drop the hop-0 rows the rebuild reads)")
         edges = np.asarray(edges, dtype=np.int64)
         if edges.ndim != 2 or edges.shape[1] != 2:
             raise ValueError(f"edges must be [M, 2], got {edges.shape}")
@@ -395,6 +437,7 @@ class LinkScorer:
         if self.sk is None:
             return
         from subgraph_sketching_tpu.sketch.params import Sketches
+        full = self._stack_is_full()
         mh, hll, cards = self.sk.minhash, self.sk.hll, self.sk.cards
         dst_removed = np.unique(edges[:, 1])
         rows = dst_removed
@@ -412,52 +455,105 @@ class LinkScorer:
             # Padding with row 0 (the insert convention) would RESET row 0
             # without rebuilding its full in-neighbourhood.
             fill = rows[0]
-            mh, hll, cards = self._del_update_jit()(
-                mh, hll, cards,
-                jnp.asarray(_pad_pow2(pairs[:, 0], fill=fill)),
-                jnp.asarray(_pad_pow2(pairs[:, 1], fill=fill)),
-                jnp.asarray(_pad_pow2(rows, fill=fill)), k)
+            kst = k if full else k - 1          # stack index of hop k
+            pos_fill = int(self._pos(np.array([fill]))[0])
+            d_idx = _pad_pow2(self._pos(pairs[:, 1]), fill=pos_fill)
+            rows_pos = _pad_pow2(self._pos(rows), fill=pos_fill)
+            if full or k >= 2:
+                mh, hll, cards = self._del_update_jit()(
+                    mh, hll, cards,
+                    jnp.asarray(_pad_pow2(self._pos(pairs[:, 0]),
+                                          fill=pos_fill)),
+                    jnp.asarray(d_idx), jnp.asarray(rows_pos), kst, k - 1)
+            else:
+                # hops-only stack, k == 1: every source row of the rebuild
+                # (in-neighbours + the self fold-in) is a hop-0 row —
+                # recomputed by node id, padded with merge identities
+                s_mh, s_hll = self._hop0_rows_padded(pairs[:, 0], len(d_idx))
+                mh, hll, cards = self._del0_update_jit()(
+                    mh, hll, cards, s_mh, s_hll,
+                    jnp.asarray(d_idx), jnp.asarray(rows_pos), kst, k - 1)
         self.sk = Sketches(minhash=mh, hll=hll, cards=cards)
 
     def _del_update_jit(self):
         """One jitted, buffer-donating per-hop rebuild for delete_edges:
-        reset the affected hop-k rows to the merge identity, scatter-merge
-        the surviving in-edges' hop-(k-1) rows (self fold-in arrives as
-        explicit (v, v) pairs), recompute the touched cardinalities."""
+        reset the affected hop-k rows (stack index ``kst``) to the merge
+        identity, scatter-merge the surviving in-edges' hop-(k-1) rows
+        (stack index ``kst - 1``; self fold-in arrives as explicit (v, v)
+        pairs), recompute the touched cardinalities (column ``kcol``)."""
         if not hasattr(self, "_del_jit"):
             from subgraph_sketching_tpu.sketch.hll import hll_count
             p = self.sketch_params.hll_p
 
-            def upd(mh, hll, cards, s_idx, d_idx, rows, k):
-                mh = mh.at[k, rows].set(jnp.uint32(0xFFFFFFFF))
-                hll = hll.at[k, rows].set(jnp.int8(0))
-                mh = mh.at[k, d_idx].min(mh[k - 1, s_idx])
-                hll = hll.at[k, d_idx].max(hll[k - 1, s_idx])
-                cards = cards.at[rows, k - 1].set(hll_count(hll[k, rows], p))
+            def upd(mh, hll, cards, s_idx, d_idx, rows, kst, kcol):
+                mh = mh.at[kst, rows].set(jnp.uint32(0xFFFFFFFF))
+                hll = hll.at[kst, rows].set(jnp.int8(0))
+                mh = mh.at[kst, d_idx].min(mh[kst - 1, s_idx])
+                hll = hll.at[kst, d_idx].max(hll[kst - 1, s_idx])
+                cards = cards.at[rows, kcol].set(hll_count(hll[kst, rows], p))
                 return mh, hll, cards
 
-            self._del_jit = jax.jit(upd, static_argnums=(6,),
+            self._del_jit = jax.jit(upd, static_argnums=(6, 7),
                                     donate_argnums=(0, 1, 2))
         return self._del_jit
+
+    def _del0_update_jit(self):
+        """delete_edges' hop-1 rebuild for hops-only stacks: the source
+        rows are explicit hop-0 rows (recomputed by node id on host) rather
+        than a stack level."""
+        if not hasattr(self, "_del0_jit"):
+            from subgraph_sketching_tpu.sketch.hll import hll_count
+            p = self.sketch_params.hll_p
+
+            def upd(mh, hll, cards, s_mh, s_hll, d_idx, rows, kst, kcol):
+                mh = mh.at[kst, rows].set(jnp.uint32(0xFFFFFFFF))
+                hll = hll.at[kst, rows].set(jnp.int8(0))
+                mh = mh.at[kst, d_idx].min(s_mh)
+                hll = hll.at[kst, d_idx].max(s_hll)
+                cards = cards.at[rows, kcol].set(hll_count(hll[kst, rows], p))
+                return mh, hll, cards
+
+            self._del0_jit = jax.jit(upd, static_argnums=(7, 8),
+                                     donate_argnums=(0, 1, 2))
+        return self._del0_jit
 
     def _hop_update_jit(self):
         """One jitted, buffer-donating hop update: scatters in place on
         device instead of copying the multi-GB stacks per eager .at[] op
         (eager scatters copy the whole array; donation lets XLA reuse the
-        buffers)."""
+        buffers).  ``kst`` is hop k's stack index (k for full stacks,
+        k-1 for hops-only); ``kcol`` the cards column (always k-1)."""
         if not hasattr(self, "_hop_jit"):
             from subgraph_sketching_tpu.sketch.hll import hll_count
             p = self.sketch_params.hll_p
 
-            def upd(mh, hll, cards, s_idx, d_idx, rows, k):
-                mh = mh.at[k, d_idx].min(mh[k - 1, s_idx])
-                hll = hll.at[k, d_idx].max(hll[k - 1, s_idx])
-                cards = cards.at[rows, k - 1].set(hll_count(hll[k, rows], p))
+            def upd(mh, hll, cards, s_idx, d_idx, rows, kst, kcol):
+                mh = mh.at[kst, d_idx].min(mh[kst - 1, s_idx])
+                hll = hll.at[kst, d_idx].max(hll[kst - 1, s_idx])
+                cards = cards.at[rows, kcol].set(hll_count(hll[kst, rows], p))
                 return mh, hll, cards
 
-            self._hop_jit = jax.jit(upd, static_argnums=(6,),
+            self._hop_jit = jax.jit(upd, static_argnums=(6, 7),
                                     donate_argnums=(0, 1, 2))
         return self._hop_jit
+
+    def _hop0_update_jit(self):
+        """insert_edges' hop-1 update for hops-only stacks: merges explicit
+        hop-0 source rows (recomputed by node id) instead of stack level
+        k-1."""
+        if not hasattr(self, "_hop0_jit"):
+            from subgraph_sketching_tpu.sketch.hll import hll_count
+            p = self.sketch_params.hll_p
+
+            def upd(mh, hll, cards, s_mh, s_hll, d_idx, rows, kst, kcol):
+                mh = mh.at[kst, d_idx].min(s_mh)
+                hll = hll.at[kst, d_idx].max(s_hll)
+                cards = cards.at[rows, kcol].set(hll_count(hll[kst, rows], p))
+                return mh, hll, cards
+
+            self._hop0_jit = jax.jit(upd, static_argnums=(7, 8),
+                                     donate_argnums=(0, 1, 2))
+        return self._hop0_jit
 
 
 class ElphLinkScorer:

@@ -72,7 +72,8 @@ def build_hash_tables(edge_index: jnp.ndarray, num_nodes: int,
     hops_only: return K-row stacks (hops 1..K; hop 0 dropped) — the feature
     extractor accepts both layouts, and at citation2 scale the hop-0 third
     of the table plus the stack-time transient is the difference between
-    fitting one chip and OOM.  Serving ``insert_edges`` needs full stacks.
+    fitting one chip and OOM.  Serving's streaming updates recompute hop-0
+    rows per touched id (pure per-id function), so both layouts stream.
     """
     assert params.max_hops in (1, 2, 3), \
         f"hashing is not implemented for {params.max_hops} hops"

@@ -40,8 +40,19 @@ def minhash_init(num_nodes: int, num_perm: int, seed: int = 1) -> np.ndarray:
     Matches reference src/hashing.py:118-124 including the uint64 wrap-around
     in a*hv+b before the Mersenne mod.
     """
+    return minhash_init_rows(np.arange(num_nodes, dtype=np.int64),
+                             num_perm, seed)
+
+
+def minhash_init_rows(ids: np.ndarray, num_perm: int,
+                      seed: int = 1) -> np.ndarray:
+    """Hop-0 signatures for an arbitrary id subset: [len(ids), num_perm]
+    uint32, bit-identical to the matching rows of ``minhash_init``.  The
+    init is a pure per-id function, which is what makes hop-0 rows O(1)
+    recomputable for serving's streaming updates on hops-only stacks."""
+    from subgraph_sketching_tpu.sketch.node_hash import node_base_hashes_for
     a, b = init_permutations(num_perm, seed)
-    hv = node_base_hashes(num_nodes)  # uint64 [n]
+    hv = node_base_hashes_for(ids)  # uint64 [len(ids)]
     with np.errstate(over="ignore"):
         phv = ((a[None, :] * hv[:, None] + b[None, :]) % _MERSENNE_PRIME) & _MAX_MINHASH
     # the reference keeps int64 and min's against an init of 2^32-1; values are

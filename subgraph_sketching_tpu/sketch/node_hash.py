@@ -31,4 +31,13 @@ def node_base_hashes(num_nodes: int) -> np.ndarray:
     Nodes are hashed 1-indexed because the hash maps 0 -> 0, which would
     corrupt the HLL registers (reference src/hashing.py:128).
     """
-    return splitmix64(np.arange(1, num_nodes + 1, dtype=np.uint64))
+    return node_base_hashes_for(np.arange(num_nodes, dtype=np.uint64))
+
+
+def node_base_hashes_for(ids: np.ndarray) -> np.ndarray:
+    """Base hashes for an arbitrary subset of node ids (same 1-indexing).
+
+    The hash is a pure per-id function, so hop-0 sketch rows are O(1)
+    recomputable per node — this is what lets serving's streaming updates
+    work on hops-only stacks (which drop the hop-0 tables to save HBM)."""
+    return splitmix64(np.asarray(ids, dtype=np.uint64) + np.uint64(1))
