@@ -1,15 +1,45 @@
-"""Headline benchmark: fused sketch-propagation throughput (edges/s/chip).
+"""Headline benchmark: the framework's three hot kernels on one chip.
 
-This is the hot kernel of the whole framework (reference hot loop:
-scatter-max hash propagation, src/hashing.py:160-162 — "most of the runtime
-of BUDDY is building hashes and subgraph features", reference README:94).
+The driver captures ONE json line.  Headline metric = fused sketch
+propagation (edges/s/chip) — the hot kernel of the whole framework
+(reference hot loop: scatter-max hash propagation, src/hashing.py:160-162 —
+"most of the runtime of BUDDY is building hashes and subgraph features",
+reference README:94) — with a torch-CPU scatter_reduce baseline implementing
+the same semantics (the reference runs on CPU/torch).
 
-Measures one full hop of minhash(min) + HLL(max) propagation over a large
-random graph on the default device (the real TPU chip under the driver), and
-compares against a torch-CPU scatter_reduce baseline implementing the same
-semantics (the reference runs on CPU/torch).
+The same line also carries the other two hot kernels (BASELINE criterion 3
+names subgraph-feature extraction, reference src/hashing.py:258-323; SpMM is
+the GCN/SIGN workhorse, reference src/models/elph.py:136-146), each with its
+own roofline figure, plus a decomposition of the hop into measured parts:
 
-Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+  * ``hop_vs_gather_bound`` — the hop's time as a fraction of its own
+    measured two-row-gathers-alone bound (the minimal HBM traffic ANY hop
+    implementation must pay; both programs ride the same relay in the same
+    process, so the ratio cancels relay and host-load noise).
+  * ``decomposition`` — net times of the hop's parts measured separately
+    (gathers alone; standalone segment reduce + self fold-in; gathers +
+    slot-axis reduce) and ``parts_over_hop`` = (gathers + segment) / hop:
+    ~1.0 means the hop's cost is fully explained by its two measured
+    memory-bound parts, with the residual being the fused slot-axis
+    reduce.  (``t_gather_slot_ms`` is informational: measured standalone
+    it exceeds the whole hop — XLA tiles the slot reduction worse when its
+    consumer is a full checksum reduction instead of the sorted scatter —
+    so it is NOT used in the sum.)
+  * ``features`` — subgraph-feature extraction links/s at a 2^18-link batch
+    on real K=2 sketch stacks, with its own gathers-alone bound ratio.
+  * ``spmm`` — plan-SpMM d=128 edges/s and ``hbm_fraction``: the kernel's
+    modelled minimal HBM traffic divided by (measured on-device stream
+    bandwidth x net time) — the fraction of speed-of-light it achieves
+    against the SAME chip's measured memcpy rate (``stream_bw_gbps``), so
+    the figure needs no spec-sheet constants.
+
+All device timings use the established net-of-roundtrip method: force a
+host read of a scalar derived from the outputs, subtract the measured
+roundtrip of a trivial program.  Under the remote-TPU relay,
+``block_until_ready`` absorbs a ~30ms dispatch/sync roundtrip per sample
+(and for some programs returns early), so device-side timing alone is
+untrustworthy; the host-read-net methodology is robust to both failure
+modes.
 """
 
 import json
@@ -21,6 +51,9 @@ NUM_NODES = 200_000
 AVG_DEG = 16  # E = 3.2M directed edges
 NUM_PERM = 128
 HLL_P = 8
+MAX_HOPS = 2
+FEAT_BATCH = 1 << 18
+SPMM_D = 128
 WARMUP = 2
 ITERS = 5
 
@@ -33,27 +66,22 @@ def make_graph(rng):
 
 
 def bench_tpu(src, dst, mh, hll):
-    """Times the fused one-hop program with a forced host read of a scalar
-    derived from BOTH outputs, then subtracts the measured roundtrip of a
-    trivial program.  Under the remote-TPU relay, ``block_until_ready``
-    timing absorbs a ~30ms dispatch/sync roundtrip per sample (and for some
-    programs returns early), so device-side timing alone is untrustworthy;
-    the host-read-net methodology is robust to both failure modes.
-
-    Besides edges/s it reports two relay/host-independent stability
-    figures: ``hop_vs_gather_bound`` — the hop's time as a fraction of its
-    own measured two-row-gathers-alone bound (the minimal HBM traffic ANY
-    hop implementation must pay; both programs ride the same relay in the
-    same process, so the ratio cancels relay and host-load noise) — and
-    ``iter_spread`` = (max-min)/min over the hop samples."""
+    """All on-device measurements; returns a dict (see module docstring)."""
     import jax
     import jax.numpy as jnp
 
     from subgraph_sketching_tpu.ops.segment_scan import make_plan
+    from subgraph_sketching_tpu.sketch.elph import subgraph_features
+    from subgraph_sketching_tpu.sketch.hll import hll_count
+    from subgraph_sketching_tpu.sketch.params import SketchParams, Sketches
 
+    E = len(src)
     plan = make_plan(np.stack([src, dst]), NUM_NODES)
     mhj, hllj = jnp.asarray(mh), jnp.asarray(hll)
     gidx = plan.gather_idx
+    sdst = plan.sub_dst
+    S, L = plan.num_subruns, plan.sub_len
+    m = hll.shape[1]
     IDENT = jnp.uint32(0xFFFFFFFF)
 
     @jax.jit
@@ -78,6 +106,32 @@ def bench_tpu(src, dst, mh, hll):
         return (rows[gidx].sum(dtype=jnp.uint32).astype(jnp.float32)
                 + hrows[gidx].astype(jnp.int32).sum().astype(jnp.float32))
 
+    @jax.jit
+    def gather_slot(mh, hll):
+        # part 1 of the hop: gathers + the slot-axis tree reduce (everything
+        # but the segment reduction and the self fold-in)
+        rows = jnp.concatenate(
+            [mh, jnp.full((1, mh.shape[1]), IDENT, jnp.uint32)], axis=0)
+        hrows = jnp.concatenate(
+            [hll, jnp.zeros((1, hll.shape[1]), jnp.int8)], axis=0)
+        vm = rows[gidx].reshape(S, L, NUM_PERM).min(axis=1)
+        vh = hrows[gidx].reshape(S, L, m).max(axis=1)
+        return vm.sum(dtype=jnp.uint32).astype(jnp.float32) + \
+            vh.sum(dtype=jnp.int32).astype(jnp.float32)
+
+    @jax.jit
+    def segment_part(vm, vh, mh, hll):
+        # part 2 of the hop: the sorted segment reduces over the [S, W]
+        # sub-run results + the self fold-in, on precomputed inputs
+        am = jax.ops.segment_min(vm, sdst, num_segments=NUM_NODES,
+                                 indices_are_sorted=True)
+        ah = jax.ops.segment_max(vh, sdst, num_segments=NUM_NODES,
+                                 indices_are_sorted=True)
+        am = jnp.minimum(mh, am)
+        ah = jnp.maximum(hll, ah)
+        return am.sum(dtype=jnp.uint32).astype(jnp.float32) + \
+            ah.sum(dtype=jnp.int32).astype(jnp.float32)
+
     def timed(fn, *args):
         for _ in range(WARMUP):
             float(fn(*args))
@@ -88,12 +142,143 @@ def bench_tpu(src, dst, mh, hll):
             ts.append(time.perf_counter() - t0)
         return min(ts), (max(ts) - min(ts)) / min(ts)
 
+    rng = np.random.default_rng(1)
     t_trivial, _ = timed(trivial, mhj)
+
+    def net(t):
+        return max(t - t_trivial, 1e-9)
+
     t_hop, spread = timed(one_hop_scalar, mhj, hllj)
     t_gather, _ = timed(gathers_only, mhj, hllj)
-    net = max(t_hop - t_trivial, 1e-9)
-    net_gather = max(t_gather - t_trivial, 1e-9)
-    return len(src) / net, net_gather / net, spread
+    t_gslot, _ = timed(gather_slot, mhj, hllj)
+    vm0 = jnp.asarray(rng.integers(0, 2 ** 32 - 1, (S, NUM_PERM),
+                                   dtype=np.uint32))
+    vh0 = jnp.asarray(rng.integers(0, 56, (S, m)).astype(np.int8))
+    t_seg, _ = timed(segment_part, vm0, vh0, mhj, hllj)
+    hop = {
+        "eps": E / net(t_hop),
+        "hop_vs_gather_bound": net(t_gather) / net(t_hop),
+        "iter_spread": spread,
+        "decomposition": {
+            "t_trivial_ms": round(t_trivial * 1e3, 2),
+            "t_hop_ms": round(net(t_hop) * 1e3, 2),
+            "t_gathers_ms": round(net(t_gather) * 1e3, 2),
+            "t_gather_slot_ms": round(net(t_gslot) * 1e3, 2),
+            "t_segment_ms": round(net(t_seg) * 1e3, 2),
+            "parts_over_hop": round(
+                (net(t_gather) + net(t_seg)) / net(t_hop), 3),
+        },
+    }
+
+    # --- subgraph features on real K=2 stacks --------------------------------
+    params = SketchParams(max_hops=MAX_HOPS, num_perm=NUM_PERM, hll_p=HLL_P)
+
+    @jax.jit
+    def build_stacks(mh0, hll0):
+        mhs, hlls, cards = [mh0], [hll0], []
+        for _ in range(MAX_HOPS):
+            mhs.append(plan.reduce(mhs[-1], "min"))
+            hlls.append(plan.reduce(hlls[-1], "max"))
+            cards.append(hll_count(hlls[-1], HLL_P))
+        return jnp.stack(mhs), jnp.stack(hlls), jnp.stack(cards, axis=1)
+
+    mh_st, hll_st, cards_st = build_stacks(mhj, hllj)
+    sk = Sketches(minhash=mh_st, hll=hll_st, cards=cards_st)
+    links = jnp.asarray(rng.integers(0, NUM_NODES, (FEAT_BATCH, 2),
+                                     dtype=np.int32))
+    jax.block_until_ready((mh_st, hll_st, cards_st, links))
+
+    def fsum(x):
+        return x.astype(jnp.float32).sum()
+
+    @jax.jit
+    def feat_full(lnk, mh_st, hll_st, cards_st):
+        s = Sketches(minhash=mh_st, hll=hll_st, cards=cards_st)
+        return subgraph_features(lnk, s, params).sum()
+
+    @jax.jit
+    def feat_gathers(lnk, mh_st, hll_st, cards_st):
+        # the feature kernel's own roofline: exactly the 6 endpoint-row
+        # gathers it must perform (2 sides x (minhash + hll) hop rows +
+        # cardinalities), nothing else
+        u, v = lnk[:, 0], lnk[:, 1]
+        return (fsum(mh_st[1:, u, :]) + fsum(mh_st[1:, v, :])
+                + fsum(hll_st[1:, u, :].astype(jnp.int32))
+                + fsum(hll_st[1:, v, :].astype(jnp.int32))
+                + fsum(cards_st[u]) + fsum(cards_st[v]))
+
+    t_feat, feat_spread = timed(feat_full, links, mh_st, hll_st, cards_st)
+    t_fg, _ = timed(feat_gathers, links, mh_st, hll_st, cards_st)
+    features = {
+        "links_per_s": round(FEAT_BATCH / net(t_feat)),
+        "batch": FEAT_BATCH,
+        "vs_gather_bound": round(net(t_fg) / net(t_feat), 3),
+        "iter_spread": round(feat_spread, 3),
+    }
+
+    # --- plan SpMM d=128 ------------------------------------------------------
+    w = rng.random(E).astype(np.float32)
+    wslots = plan.stage_edge_data(w)
+    x = jnp.asarray(rng.standard_normal((NUM_NODES, SPMM_D))
+                    .astype(np.float32))
+    jax.block_until_ready((wslots, x))
+
+    @jax.jit
+    def spmm_plan(x, wslots):
+        return plan.reduce(x, "add", edge_data_slots=wslots).sum()
+
+    t_spmm, spmm_spread = timed(spmm_plan, x, wslots)
+
+    # measured on-chip stream bandwidth: 16 read+write passes over a 256MB
+    # array inside ONE program (a lax.scan carry materialises each pass —
+    # a plain multiply chain would fuse into a single pass) so the ~10ms of
+    # device time clears the relay's run-to-run jitter; the [0] host read
+    # forces completion — the denominator for hbm_fraction
+    STREAM_PASSES = 16
+    big = jnp.asarray(rng.standard_normal(64 * 1024 * 1024)
+                      .astype(np.float32))
+    jax.block_until_ready(big)
+
+    @jax.jit
+    def stream(a):
+        y, _ = jax.lax.scan(
+            lambda c, _: (c * jnp.float32(1.0000001), None), a, None,
+            length=STREAM_PASSES)
+        return y
+
+    def timed_stream():
+        for _ in range(WARMUP):
+            float(stream(big)[0])
+        ts = []
+        for _ in range(ITERS):
+            t0 = time.perf_counter()
+            float(stream(big)[0])
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t_stream = timed_stream()
+    stream_bytes = 2 * big.size * 4 * STREAM_PASSES  # read + write per pass
+    stream_bw = stream_bytes / net(t_stream)
+
+    # minimal HBM traffic model for the plan SpMM: every slot reads its
+    # gathered row (S*L * d*4), its index (4B) and weight (4B); the sub-run
+    # results ([S, d] f32) are written+read around the segment reduce; the
+    # output ([N, d] f32) is written once
+    slots = S * L
+    est_bytes = (slots * (SPMM_D * 4 + 4 + 4) + 2 * S * SPMM_D * 4
+                 + NUM_NODES * SPMM_D * 4)
+    spmm = {
+        "edges_per_s": round(E / net(t_spmm)),
+        "d": SPMM_D,
+        "hbm_fraction": round((est_bytes / net(t_spmm)) / stream_bw, 3),
+        "est_gbytes": round(est_bytes / 1e9, 3),
+        "iter_spread": round(spmm_spread, 3),
+    }
+
+    hop["features"] = features
+    hop["spmm"] = spmm
+    hop["stream_bw_gbps"] = round(stream_bw / 1e9, 1)
+    return hop
 
 
 def bench_torch_cpu(src, dst, mh, hll):
@@ -131,9 +316,7 @@ def _tpu_child():
     src, dst = make_graph(rng)
     mh = rng.integers(0, 2 ** 32 - 1, (NUM_NODES, NUM_PERM), dtype=np.uint32)
     hll = rng.integers(0, 56, (NUM_NODES, 1 << HLL_P)).astype(np.int8)
-    eps, bound_ratio, spread = bench_tpu(src, dst, mh, hll)
-    print(json.dumps({"eps": eps, "hop_vs_gather_bound": bound_ratio,
-                      "iter_spread": spread}), flush=True)
+    print(json.dumps(bench_tpu(src, dst, mh, hll)), flush=True)
 
 
 def _measure_tpu_with_deadline(attempts=3, deadline_s=None, retry_sleep=90):
@@ -146,7 +329,7 @@ def _measure_tpu_with_deadline(attempts=3, deadline_s=None, retry_sleep=90):
     import sys
 
     if deadline_s is None:
-        deadline_s = int(os.environ.get("BENCH_TPU_DEADLINE_S", "420"))
+        deadline_s = int(os.environ.get("BENCH_TPU_DEADLINE_S", "560"))
     for attempt in range(attempts):
         try:
             out = subprocess.run(
@@ -190,6 +373,10 @@ def main():
         # sample spread of the hop timings
         "hop_vs_gather_bound": round(res["hop_vs_gather_bound"], 3),
         "iter_spread": round(res["iter_spread"], 3),
+        "decomposition": res["decomposition"],
+        "features": res["features"],
+        "spmm": res["spmm"],
+        "stream_bw_gbps": res["stream_bw_gbps"],
     }))
 
 
