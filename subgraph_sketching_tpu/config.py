@@ -134,8 +134,8 @@ class Config:
     # keep only hops 1..K of the sketch stacks (drop hop 0): saves 1/(K+1)
     # of resident sketch HBM plus the stack-time transient — at citation2
     # scale the difference between one chip and OOM.  Features are
-    # identical (the extractor reads hops 1..K); serving insert_edges
-    # needs full stacks, so leave this off for scorers you plan to update
+    # identical (the extractor reads hops 1..K), and serving's streaming
+    # insert/delete work too (hop-0 rows are recomputed per touched id)
     hops_only_sketches: bool = False
     mesh_shape: Optional[List[int]] = None  # e.g. [8] for 8-way data parallel
     mesh_axes: List[str] = field(default_factory=lambda: ["data"])
@@ -148,6 +148,11 @@ class Config:
     memory_sharded: bool = False
     checkpoint_dir: Optional[str] = None
     resume: bool = False  # restore the latest checkpoint from checkpoint_dir
+    # save a checkpoint every N epochs (process 0 only); with --resume the
+    # run continues FROM the restored epoch with the same per-epoch keys,
+    # so an interrupted run's final state is bit-identical to an
+    # uninterrupted one (tests/test_fault.py drill)
+    checkpoint_every: Optional[int] = None
     # persistent XLA compilation cache: repeat runs (and --resume restarts)
     # skip the 15-60s-per-shape remote compiles
     compilation_cache_dir: Optional[str] = None

@@ -111,6 +111,39 @@ class HeartbeatDetector:
         if missing:
             raise PeerFailure(sorted(missing), startup_timeout)
 
+    def barrier(self, tag: str, poll: float = 0.05,
+                startup_timeout: Optional[float] = None) -> None:
+        """Out-of-band, hang-proof epoch barrier.
+
+        Entering a collective behind a dead peer hangs forever (the
+        failure mode this module exists for) — ``check()`` between epochs
+        cannot help once a process is already blocked inside the fabric.
+        Gating each epoch on this barrier closes that window: every
+        process marks its arrival at ``tag`` with a file, then waits for
+        all peers' marks while heartbeat-checking, so a peer that dies at
+        any point before the epoch raises a prompt ``PeerFailure`` instead
+        of wedging the survivors in the epoch's first collective.
+
+        ``tag`` must be unique per barrier point (e.g. ``f"ep{epoch}"``).
+        """
+        marker = os.path.join(self.dir, f"bar_{tag}_{{}}")
+        tmp = marker.format(self.pid) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(time.time()))
+        os.replace(tmp, marker.format(self.pid))
+        deadline = (time.time() + startup_timeout
+                    if startup_timeout is not None else None)
+        missing = set(range(self.n)) - {self.pid}
+        while missing:
+            missing = {p for p in missing
+                       if not os.path.exists(marker.format(p))}
+            if not missing:
+                return
+            self.check()  # raises PeerFailure on a stale/vanished peer
+            if deadline is not None and time.time() > deadline:
+                raise PeerFailure(sorted(missing), startup_timeout)
+            time.sleep(poll)
+
     def check(self) -> None:
         """Raise PeerFailure if any peer's heartbeat is older than
         ``timeout``.  Call between steps/epochs on every process."""

@@ -135,14 +135,20 @@ def run(cfg: Config):
             trainer = build_trainer(cfg, datasets, num_features)
         print(f"preprocessing ran in {time.time() - t0:.2f}s")
         state = trainer.init_state(jax.random.PRNGKey(rep))
+        start_epoch = 0
         if cfg.resume and cfg.checkpoint_dir and rep == 0:
             # real mid-run resume of params + batch stats + optimizer state
-            # (the reference can only save final weights, run.py:108-110)
+            # (the reference can only save final weights, run.py:108-110).
+            # The loop continues FROM the restored epoch: per-epoch keys are
+            # fold_in(PRNGKey(rep), epoch) and the host rng is unused, so
+            # the resumed run's remaining epochs are bit-identical to an
+            # uninterrupted run's (tests/test_fault.py drill).
             from subgraph_sketching_tpu.train.checkpoint import (
                 latest_step, restore_into,
             )
             if latest_step(cfg.checkpoint_dir) is not None:
                 state, step = restore_into(cfg.checkpoint_dir, state)
+                start_epoch = min(step, cfg.epochs)
                 print(f"resumed from checkpoint step {step}")
 
         if cfg.check_determinism and rep == 0:
@@ -158,7 +164,7 @@ def run(cfg: Config):
         val_res = test_res = train_res = 0.0
         best_epoch = 0
         print(f"running repetition {rep}")
-        for epoch in range(cfg.epochs):
+        for epoch in range(start_epoch, cfg.epochs):
             t0 = time.time()
             # structured tracing (the reference has wall-clock prints only,
             # SURVEY.md §5); epoch 1 is traced so compile noise from epoch 0
@@ -166,6 +172,12 @@ def run(cfg: Config):
             # distinct per-rep stream: the epoch key seeds the on-device
             # shuffle and dropout, so reps must not share it
             epoch_key = jax.random.fold_in(jax.random.PRNGKey(rep), epoch)
+            if detector is not None:
+                # out-of-band barrier BEFORE the epoch's first collective: a
+                # peer that died since the last check raises a prompt
+                # PeerFailure here instead of wedging this process inside
+                # the fabric (parallel/fault.py barrier docstring)
+                detector.barrier(f"rep{rep}_ep{epoch}")
             if cfg.profile_dir and epoch == 1 and rep == 0:
                 with jax.profiler.trace(cfg.profile_dir):
                     state, loss = trainer.train_epoch(state, host_rng,
@@ -175,6 +187,15 @@ def run(cfg: Config):
                 state, loss = trainer.train_epoch(state, host_rng, epoch_key)
             if detector is not None:
                 detector.check()
+            if (cfg.checkpoint_every and cfg.checkpoint_dir and rep == 0
+                    and (epoch + 1) % cfg.checkpoint_every == 0):
+                # ALL processes call save: orbax coordinates internally
+                # (primary host writes; a process-0-only call would hang in
+                # orbax's own multi-process barrier)
+                from subgraph_sketching_tpu.train.checkpoint import (
+                    save_checkpoint,
+                )
+                save_checkpoint(cfg.checkpoint_dir, state, step=epoch + 1)
             if (epoch + 1) % cfg.eval_steps == 0:
                 results = test(trainer, state, cfg, eval_metric,
                                train_split=getattr(trainer, "train_eval_split",

@@ -11,6 +11,7 @@ import os
 from typing import Optional
 
 import jax
+import numpy as np
 
 
 def _ckptr():
@@ -18,10 +19,26 @@ def _ckptr():
     return ocp.PyTreeCheckpointer()
 
 
+def _to_host(x):
+    """Multi-process runs call save_checkpoint on EVERY process (orbax's
+    internal barrier requires it; the primary host does the writing).
+    Process-spanning jax.Arrays are converted to the local replica first —
+    replicated state (the data-parallel layout) is identical on every
+    host; genuinely sharded state must be gathered/replicated by the
+    caller."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        if x.sharding.is_fully_replicated:
+            return np.asarray(x.addressable_shards[0].data)
+        raise ValueError(
+            "save_checkpoint on one process of a multi-process run needs "
+            "fully-replicated state; gather or replicate before saving")
+    return x
+
+
 def save_checkpoint(directory: str, state, step: int = 0) -> str:
     os.makedirs(directory, exist_ok=True)
     path = os.path.join(os.path.abspath(directory), f"step_{step}")
-    _ckptr().save(path, jax.tree.map(lambda x: x, state._asdict()),
+    _ckptr().save(path, jax.tree.map(_to_host, state._asdict()),
                   force=True)
     return path
 

@@ -136,3 +136,157 @@ def test_two_process_kill_detected(tmp_path):
     out, _ = survivor.communicate(timeout=60)
     assert survivor.returncode == 3, f"survivor output:\n{out}"
     assert "DETECTED dead=[1]" in out
+
+
+def test_barrier_passes_and_detects(tmp_path):
+    """barrier(): both peers arriving releases promptly; a peer that never
+    arrives (heartbeat gone stale) raises PeerFailure instead of hanging."""
+    import threading
+
+    d0 = HeartbeatDetector(str(tmp_path), 0, 2, interval=0.05, timeout=0.6)
+    d1 = HeartbeatDetector(str(tmp_path), 1, 2, interval=0.05, timeout=0.6)
+    d0.start()
+    d1.start()
+    try:
+        d0.wait_all_started(startup_timeout=5.0)
+        t = threading.Thread(target=d1.barrier, args=("ep0",))
+        t.start()
+        d0.barrier("ep0")            # both arrive -> both release
+        t.join(timeout=5)
+        assert not t.is_alive()
+        d1.stop()                    # rank 1 dies before the next barrier
+        stale = time.time() - 10.0
+        os.utime(os.path.join(str(tmp_path), "hb_1"), (stale, stale))
+        with pytest.raises(PeerFailure) as ei:
+            d0.barrier("ep1")
+        assert ei.value.dead == [1]
+    finally:
+        d0.stop()
+        d1.stop()
+
+
+_DRILL_WORKER = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=2")
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid = int(sys.argv[1])
+epochs = int(sys.argv[2])
+resume = sys.argv[3] == "resume"
+crash_after = sys.argv[4] == "crash"
+jax.distributed.initialize({coord!r}, num_processes=2, process_id=pid)
+assert jax.process_count() == 2 and len(jax.devices()) == 4
+
+from subgraph_sketching_tpu.config import Config
+from subgraph_sketching_tpu.parallel.fault import PeerFailure
+from subgraph_sketching_tpu.runners.run import run
+
+cfg = Config(dataset_name="synth-ba", model="BUDDY", hidden_channels=16,
+             batch_size=256, eval_batch_size=1024, K=20, epochs=epochs,
+             mesh_shape=[4], mesh_axes=["data"],
+             checkpoint_dir={ckpt!r}, checkpoint_every=1, resume=resume,
+             # the fs heartbeat must fire BEFORE jax's own coordination
+             # service declares the peer dead (~10s) and force-kills the
+             # survivor with an uncatchable abseil FATAL
+             heartbeat_dir={hbdir!r}, heartbeat_timeout=2.0)
+try:
+    run(cfg)
+except PeerFailure as e:
+    print(f"PEERFAILURE dead={{e.dead}}", flush=True)
+    # os._exit: a normal exit would run jax.distributed's atexit shutdown
+    # barrier, which can only fail against a dead peer (FATAL -> SIGABRT)
+    os._exit(3)
+print(f"proc {{pid}} finished {{epochs}} epochs", flush=True)
+if crash_after:
+    os._exit(1)      # hard crash, no detector/jax cleanup
+"""
+
+
+def _launch_drill(tmp_path, name, coord, ckpt, hbdir, args0, args1):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = tmp_path / f"{name}.py"
+    path.write_text(_DRILL_WORKER.format(repo=repo, coord=coord, ckpt=ckpt,
+                                         hbdir=hbdir))
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    return [subprocess.Popen([sys.executable, str(path)] + a,
+                             stdout=subprocess.PIPE,
+                             stderr=subprocess.STDOUT, env=env, text=True)
+            for a in (args0, args1)]
+
+
+def _final_state(ckpt_dir, step):
+    from subgraph_sketching_tpu.train.checkpoint import restore_checkpoint
+    state, got = restore_checkpoint(ckpt_dir, step=step)
+    return state
+
+
+@pytest.mark.skipif(os.environ.get("SKIP_MULTIPROCESS") == "1",
+                    reason="multi-process test disabled")
+def test_fault_drill_kill_resume_bitexact(tmp_path):
+    """The full failure->recovery chain on the production runner, two real
+    processes: train with per-epoch checkpoints, hard-kill one peer
+    mid-run, assert the survivor raises PeerFailure (via the pre-epoch
+    barrier — no hang), restart both processes with --resume, and assert
+    the final checkpointed state is BIT-IDENTICAL to an uninterrupted
+    run's.  (Per-epoch keys are fold_in(seed, epoch) and resume continues
+    from the restored epoch, so the chain is exactly deterministic.)"""
+    import numpy as np
+
+    E = 4
+    # phase A: uninterrupted 2-process run
+    ck_a, hb_a = str(tmp_path / "ck_a"), str(tmp_path / "hb_a")
+    procs = _launch_drill(tmp_path, "phase_a", "127.0.0.1:45741", ck_a, hb_a,
+                          ["0", str(E), "fresh", "no"],
+                          ["1", str(E), "fresh", "no"])
+    outs_a = [p.communicate(timeout=600)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs_a)):
+        assert p.returncode == 0, f"phase A proc {i}:\n{out[-3000:]}"
+
+    # phase B: rank 1 hard-crashes after finishing epoch 2 (its own run is
+    # 2 epochs long, then os._exit(1) with no cleanup); rank 0 wants E
+    # epochs and must raise PeerFailure at the epoch-3 barrier
+    ck_b, hb_b = str(tmp_path / "ck_b"), str(tmp_path / "hb_b")
+    procs = _launch_drill(tmp_path, "phase_b", "127.0.0.1:45743", ck_b, hb_b,
+                          ["0", str(E), "fresh", "no"],
+                          ["1", "2", "fresh", "crash"])
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    assert procs[0].returncode == 3, f"survivor:\n{outs[0][-3000:]}"
+    assert "PEERFAILURE dead=[1]" in outs[0]
+    assert procs[1].returncode == 1  # the hard crash
+
+    # phase C: restart BOTH processes with --resume from ck_b
+    procs = _launch_drill(tmp_path, "phase_c", "127.0.0.1:45745", ck_b, hb_b,
+                          ["0", str(E), "resume", "no"],
+                          ["1", str(E), "resume", "no"])
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"phase C proc {i}:\n{out[-3000:]}"
+    assert "resumed from checkpoint step 2" in outs[0]
+
+    # final state bit-identical to the uninterrupted run
+    import jax
+    a = _final_state(ck_a, E)
+    b = _final_state(ck_b, E)
+    leaves_a = jax.tree.leaves(a)
+    leaves_b = jax.tree.leaves(b)
+    assert len(leaves_a) == len(leaves_b) and len(leaves_a) > 0
+    for la, lb in zip(leaves_a, leaves_b):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+    # and the final epoch's reported loss + train metric match too (the
+    # printed Valid/Test are running-best over each run's OWN epochs, so
+    # only the per-epoch fields are comparable across a resume)
+    import re
+
+    def final_loss_train(out):
+        lines = [ln for ln in out.splitlines() if ln.startswith("Epoch: 03")]
+        assert lines, out[-2000:]
+        m = re.search(r"Loss: ([0-9.]+), Train: ([0-9.]+)%", lines[-1])
+        assert m, lines[-1]
+        return m.groups()
+
+    assert final_loss_train(outs_a[0]) == final_loss_train(outs[0])
