@@ -458,12 +458,17 @@ def node_sharded_build_hash_tables(
     HLL registers) across a second mesh axis — a 2D graph x lane layout.
     The hop's min/max reduction is elementwise over lanes, so the lane
     dimension needs NO communication in the build: each lane shard runs
-    the same halo all_to_all on 1/L-width rows, cutting the per-hop wire
-    bytes AND the per-device state by L on top of the node split.  This is
-    the honest lever for comm-bound (random / power-law) graphs, where no
-    partition can shrink the boundary (studies/README.md round-3 notes:
-    communication-layout tricks provably cannot).  Only the cards
-    estimator crosses lanes (register stats psum, the
+    the same halo all_to_all on its 1/L-width slice.  This is the honest
+    lever for comm-bound (random / power-law) graphs, where no partition
+    can shrink the boundary (studies/README.md round-3 notes:
+    communication-layout tricks provably cannot).  CEILING: the minor dim
+    tiles to 128 lanes on TPU, so a slice narrower than 128 lanes pads
+    back to a full tile and its HBM/wire bytes stop shrinking — with the
+    DEFAULT widths (num_perm=128 u32, m=256 int8) the usable ceiling is
+    L=2 (the HLL half halves, the minhash half cannot: 768B -> 640B per
+    row, 1.2x); wider configs (num_perm=256+, hll_p>=9) scale further
+    (parallel/scaling.lane_row_bytes, docs/PARALLELISM.md).  Only the
+    cards estimator crosses lanes (register stats psum, the
     hll_count_from_stats contract shared with lane_sharded features).
     Tables stay bit-exact; cards match the single-device estimator to f32
     reduction order.  Requires num_perm % L == 0 and 2^hll_p % L == 0.

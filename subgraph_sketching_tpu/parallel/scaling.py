@@ -107,9 +107,31 @@ def scaling_efficiency(results: Dict[int, float]) -> Dict[int, float]:
     return {d: eps / (base * d / min(results)) for d, eps in results.items()}
 
 
+def lane_row_bytes(params: SketchParams, lane_shards: int) -> int:
+    """Per-(node, lane-shard) sketch row bytes in the TPU tiled layout.
+
+    The minor (width) dimension tiles to 128 lanes on TPU — u32 (8, 128)
+    tiles, int8 (32, 128) tiles — so a lane slice narrower than 128 lanes
+    pads BACK to a full tile: its HBM bytes (and, conservatively, its wire
+    bytes) stop shrinking.  With the default widths (num_perm=128 u32,
+    m=256 int8) that sets the honest lane-shard ceiling: the minhash row is
+    already exactly one tile (no L shrinks it), the HLL row halves once at
+    L=2 (256 -> 128 int8 lanes), and beyond L=2 nothing improves —
+    768B -> 640B per row pair, a 1.2x cut, NOT 1/L.  Wider configs scale
+    further: max useful L = max(num_perm/128, m/128) with gains
+    proportional to the un-padded fraction (see docs/PARALLELISM.md)."""
+    mh_lanes = max(params.num_perm // lane_shards, 128)
+    hll_lanes = max((1 << params.hll_p) // lane_shards, 128)
+    return mh_lanes * 4 + hll_lanes
+
+
 def ici_scaling_model(num_nodes: int = 200_000, avg_deg: int = 16,
                       device_counts: List[int] = None,
-                      per_chip_edges_per_s: float = 114e6,
+                      # bench.py round-4 headline (BENCH_r04): the fused
+                      # minhash+HLL hop on one v5e chip with the
+                      # sorted-scatter hint.  Keep this in sync with the
+                      # shipped BENCH artifact so the two agree.
+                      per_chip_edges_per_s: float = 91.5e6,
                       ici_bytes_per_s: float = 4.5e10,
                       params: SketchParams = None,
                       weak: bool = False, graph: str = "random",
@@ -156,18 +178,21 @@ def ici_scaling_model(num_nodes: int = 200_000, avg_deg: int = 16,
     ``lane_shards`` (L): model the 2D graph x lane layout
     (node_sharded_build_hash_tables ``lane_axis``) — each device count D
     splits into G = D/L node shards x L lane shards.  Lanes are
-    elementwise in the hop, so per-device reduce time scales by 1/L
-    (width) and halo wire bytes by 1/L, while the node partition only has
-    to be G-way (smaller boundary than D-way).  This is the lever for
-    comm-bound graphs where no partition shrinks the boundary
-    (studies/README.md: layout tricks provably cannot).  Device counts not
-    divisible by L keep L=1 for that row.
+    elementwise in the hop, so a lane shard reduces (and wires) only its
+    slice while the node partition only has to be G-way (smaller boundary
+    than D-way).  This is the lever for comm-bound graphs where no
+    partition shrinks the boundary (studies/README.md: layout tricks
+    provably cannot).  The per-lane-shard cost follows ``lane_row_bytes``
+    — TILE-PADDED, so with the default sketch widths the usable ceiling is
+    L=2 at a 1.2x row-byte cut (the round-3 model assumed full 1/L and
+    overstated the lever; see lane_row_bytes and docs/PARALLELISM.md).
+    Device counts not divisible by L keep L=1 for that row.
     """
     from subgraph_sketching_tpu.parallel.node_sharded import (
         make_node_partition,
     )
     if device_counts is None:
-        device_counts = [1, 2, 4, 8, 16]
+        device_counts = [1, 2, 4, 8, 16, 32]
     params = params or SketchParams(max_hops=2)
     row_bytes = params.num_perm * 4 + (1 << params.hll_p)
     rng = np.random.default_rng(seed)
@@ -201,18 +226,22 @@ def ici_scaling_model(num_nodes: int = 200_000, avg_deg: int = 16,
         ei, n, e = graph_for(d)
         L = lane_shards if d % lane_shards == 0 else 1
         G = d // L
+        # lane speedup is set by TILE-PADDED row bytes (bandwidth-bound
+        # hop), not 1/L: with default widths L=2 buys 768->640B = 1.2x and
+        # larger L nothing (lane_row_bytes docstring)
+        lane_bytes = lane_row_bytes(params, L)
+        lane_speed = row_bytes / lane_bytes
         if G == 1:
-            # all edges local; reduce runs on 1/L-width rows (L == d)
-            t_hop = e / (per_chip_edges_per_s * L)
+            # all edges local; reduce runs on the lane slice (L == d)
+            t_hop = e / (per_chip_edges_per_s * lane_speed)
             row = {"t_hop_ms": t_hop * 1e3, "halo_rows_per_dev": 0,
                    "lane_shards": L, "comm_bound": False}
         else:
             plan = make_node_partition(ei, n, G, method=method)
-            # lanes are elementwise: a 1/L-width row reduces (and rides
-            # the wire) at 1/L the cost; the node partition is G-way
-            t_local = plan.local_src.shape[1] / (per_chip_edges_per_s * L)
-            t_halo_red = plan.halo_src.shape[1] / (per_chip_edges_per_s * L)
-            halo_bytes = (G - 1) * plan.halo_width * row_bytes / L
+            rate = per_chip_edges_per_s * lane_speed
+            t_local = plan.local_src.shape[1] / rate
+            t_halo_red = plan.halo_src.shape[1] / rate
+            halo_bytes = (G - 1) * plan.halo_width * lane_bytes
             t_comm = halo_bytes / ici_bytes_per_s
             t_hop = max(t_local, t_comm) + t_halo_red
             row = {"t_hop_ms": t_hop * 1e3,
@@ -236,9 +265,12 @@ def ici_scaling_model(num_nodes: int = 200_000, avg_deg: int = 16,
             "partition_method": method,
             "shuffle_ids": shuffle_ids,
             "lane_shards": lane_shards,
+            "lane_row_bytes": lane_row_bytes(params, lane_shards),
             "note": ("analytic: real partition halo/edge volumes x measured "
-                     "single-chip rate; CPU-mesh timings cannot measure "
-                     "scaling (virtual devices share host cores)"),
+                     "single-chip rate (bench.py BENCH_r04 headline); lane "
+                     "costs are TILE-PADDED (lane_row_bytes); CPU-mesh "
+                     "timings cannot measure scaling (virtual devices share "
+                     "host cores)"),
         },
         "per_device_count": {str(d): r for d, r in out.items()},
     }

@@ -548,3 +548,37 @@ def test_node_lane_2d_sharded_matches_single_device(setup):
     sf_drop = np.asarray(node_sharded_subgraph_features(
         links, sk_drop, params, mesh, perm=plan.perm, lane_axis="lane"))
     np.testing.assert_allclose(sf_drop, sf_ref, rtol=1e-6, atol=1e-4)
+
+
+def test_memory_sharded_production_scale_equality(capsys):
+    """PRODUCTION-scale multichip equality (round-4 item 4): ELPH
+    --memory_sharded at synth-ws-100000 (100k nodes / 1M directed edges)
+    through the production runner, vs the single-device run — per-epoch
+    losses equal to 1e-4 and returned metrics close.  The committed 500k
+    artifact (tools/scale_equality.py -> SCALING_r04) extends this to
+    citation2-class scale; this test keeps the >=100k path green every
+    round.  Slow (~minutes on the CPU mesh)."""
+    from subgraph_sketching_tpu.runners.run import main
+    import re
+
+    losses = {}
+    results = {}
+    for name, extra in (("sharded", ["--mesh_shape", "1,8", "--mesh_axes",
+                                     "data,graph", "--memory_sharded", "1"]),
+                        ("single", [])):
+        res = main(["--dataset_name", "synth-ws-100000", "--model", "ELPH",
+                    "--hidden_channels", "16", "--batch_size", "4096",
+                    "--eval_batch_size", "65536", "--K", "50",
+                    "--epochs", "1", "--train_samples", "16384",
+                    "--label_dropout", "0", "--feature_dropout", "0"]
+                   + extra)
+        out = capsys.readouterr().out
+        losses[name] = [float(m) for m in re.findall(r"Loss: ([0-9.]+)", out)]
+        results[name] = np.asarray(res[0])
+    assert losses["sharded"] and len(losses["sharded"]) == len(losses["single"])
+    for a, b in zip(losses["sharded"], losses["single"]):
+        assert abs(a - b) < 1e-4, (losses["sharded"], losses["single"])
+    # metrics: rank-based Hits can flip near the threshold under f32
+    # reduction-order noise; 1% absolute is the established envelope
+    np.testing.assert_allclose(results["sharded"], results["single"],
+                               atol=0.01)

@@ -1,8 +1,17 @@
 """Serving latency/throughput on the real chip: LinkScorer over a trained
-BUDDY at 100k nodes.  Reports per-bucket p50 raw latency (includes the
-relay's ~30ms dispatch — the honest client-observed number here) and the
-net-of-roundtrip device cost.
+BUDDY at 100k nodes.
+
+Reports, per bucket size, the p50 raw latency (includes the remote relay's
+~25-30ms dispatch roundtrip — the honest client-observed number HERE, but a
+number that would read as a regression the day the relay changes) and the
+committed figure of merit: the NET device cost, p50 minus the same-process
+trivial-program roundtrip — the same methodology bench.py uses.
+
+Usage: python tools/probe_serving.py [round]  — with a round number it
+writes SERVING_r{NN}.json at the repo root (the cross-round artifact).
 """
+import json
+import os
 import sys
 import time
 
@@ -52,7 +61,23 @@ t0 = time.perf_counter()
 scorer.warmup(BUCKETS)
 log(f"warmup (compile {len(BUCKETS)} buckets): {time.perf_counter()-t0:.1f}s")
 
-# relay roundtrip reference: score the smallest bucket repeatedly
+# relay roundtrip reference, same methodology as bench.py: one trivial
+# program + scalar host read, p50 over the same sample count
+import jax.numpy as jnp
+
+_trivial = jax.jit(lambda x: x[0, 0])
+_tiny = jnp.zeros((2, 2), jnp.float32)
+float(_trivial(_tiny))
+triv = []
+for _ in range(7):
+    t0 = time.perf_counter()
+    float(_trivial(_tiny))
+    triv.append(time.perf_counter() - t0)
+triv = sorted(triv)[1:-1]
+t_trivial = triv[len(triv) // 2]
+log(f"trivial-program roundtrip p50: {t_trivial*1e3:.1f}ms")
+
+rows = {}
 for B in BUCKETS:
     qs = [rng.integers(0, n, (B, 2), dtype=np.int32) for _ in range(7)]
     ts = []
@@ -62,6 +87,27 @@ for B in BUCKETS:
         ts.append(time.perf_counter() - t0)
     ts = sorted(ts)[1:-1]    # trim outliers
     p50 = ts[len(ts) // 2]
-    log(f"bucket {B:7d}: p50 {p50*1e3:7.1f}ms  "
-        f"{B/p50/1e6:6.2f}M links/s")
+    net = max(p50 - t_trivial, 1e-9)
+    rows[str(B)] = {"p50_ms_raw": round(p50 * 1e3, 1),
+                    "p50_ms_net": round(net * 1e3, 1),
+                    "links_per_s_net": round(B / net)}
+    log(f"bucket {B:7d}: p50 raw {p50*1e3:7.1f}ms  net {net*1e3:7.1f}ms  "
+        f"{B/net/1e6:6.2f}M links/s net")
+
+if len(sys.argv) > 1:
+    rnd = int(sys.argv[1])
+    artifact = {
+        "setup": "BUDDY, synth-ws-100000, trained 1 epoch, real TPU v5e",
+        "figure_of_merit": ("p50_ms_net: per-bucket p50 serving latency net "
+                            "of the measured trivial-program relay "
+                            "roundtrip (same methodology as bench.py) — "
+                            "compare THIS across rounds; p50_ms_raw "
+                            "includes the environment's relay dispatch"),
+        "trivial_roundtrip_ms": round(t_trivial * 1e3, 1),
+        "buckets": rows,
+    }
+    path = f"/root/repo/SERVING_r{rnd:02d}.json"
+    with open(path, "w") as f:
+        json.dump(artifact, f, indent=2)
+    log(f"wrote {path}")
 log("done probe_serving")

@@ -30,6 +30,8 @@ def main():
         ici_scaling_model, measure_node_sharded_scaling, measure_scaling,
         scaling_efficiency,
     )
+    from subgraph_sketching_tpu.sketch.params import SketchParams
+    wide = SketchParams(max_hops=2, num_perm=256, hll_p=9)
     edge = measure_scaling()
     node = measure_node_sharded_scaling()
     out = {
@@ -69,18 +71,36 @@ def main():
                                                   weak=True, graph="ws",
                                                   shuffle_ids=True,
                                                   device_counts=[1, 2, 4, 8]),
-            # 2D graph x lane sharding (round 3): lanes are elementwise in
-            # the hop, so L lane shards cut wire bytes AND per-device reduce
-            # width by L while the node partition only has to be (D/L)-way —
-            # lifts the comm-bound random-graph floor above the 0.80 bar
-            # (no partition can shrink a random graph's boundary;
-            # studies/README.md proves no comm LAYOUT can either)
-            "strong_random_lane2": ici_scaling_model(lane_shards=2),
-            "strong_random_lane4": ici_scaling_model(lane_shards=4),
-            "strong_ws_shuffled_lane2": ici_scaling_model(
-                graph="ws", shuffle_ids=True, lane_shards=2),
+            # 2D graph x lane sharding, round-4 HONEST (tile-padded) model:
+            # the minor dim tiles to 128 lanes, so with DEFAULT widths
+            # (P=128 u32 / m=256 i8) a lane slice buys only 768->640B
+            # (1.2x) while doubling per-device edges — a NET LOSS, recorded
+            # here as the negative result that retires round 3's lane rows
+            # (those assumed full 1/L and overstated the lever;
+            # parallel/scaling.lane_row_bytes).  Lane sharding genuinely
+            # helps only for WIDER sketch configs where every slice stays
+            # >= one full tile: num_perm=256/hll_p=9 at L=2 divides both
+            # tables exactly.
+            "strong_random_lane2_default_widths": ici_scaling_model(
+                lane_shards=2),
+            "strong_random_wide_l1": ici_scaling_model(params=wide),
+            "strong_random_wide_lane2": ici_scaling_model(
+                lane_shards=2, params=wide),
+            # weak scaling (pods grow with data — the production regime for
+            # the zero-locality worst case)
+            "weak_random_wide_lane2": ici_scaling_model(
+                num_nodes=100_000, weak=True, lane_shards=2, params=wide,
+                device_counts=[1, 2, 4, 8, 16]),
         },
     }
+    # production-scale equality artifact (tools/scale_equality.py): merge
+    # when present so SCALING carries the >=100k-node loss/metric equality
+    # and per-device-bytes evidence in one place
+    se_path = os.path.join(os.path.dirname(__file__),
+                           "scale_equality_500k.json")
+    if os.path.exists(se_path):
+        with open(se_path) as f:
+            out["scale_equality_500k"] = json.load(f)
     path = os.path.join(os.path.dirname(__file__), "..",
                         f"SCALING_r{rnd:02d}.json")
     with open(path, "w") as f:
