@@ -125,6 +125,15 @@ class HeartbeatDetector:
         of wedging the survivors in the epoch's first collective.
 
         ``tag`` must be unique per barrier point (e.g. ``f"ep{epoch}"``).
+
+        A restart that reuses the same directory sees the previous
+        incarnation's markers, which can release a barrier early.  That
+        only WEAKENS the barrier back to plain collective skew (the
+        survivor blocks inside the fabric until the live peer catches
+        up); it cannot produce a wrong result.  A peer that dies in that
+        window is caught by the runtime's own coordination-service
+        timeout rather than a named PeerFailure — wipe the directory on
+        restart for full coverage.
         """
         marker = os.path.join(self.dir, f"bar_{tag}_{{}}")
         tmp = marker.format(self.pid) + ".tmp"

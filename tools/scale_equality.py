@@ -51,7 +51,7 @@ def rss_gb():
     return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
 
 
-def run_elph(n, sharded, epochs=2, train_samples=131072):
+def run_elph(n, sharded, epochs=2, train_samples=131072, mesh="1,8"):
     from subgraph_sketching_tpu.runners.run import main
     args = ["--dataset_name", f"synth-ws-{n}", "--model", "ELPH",
             "--hidden_channels", "16", "--batch_size", "4096",
@@ -59,7 +59,7 @@ def run_elph(n, sharded, epochs=2, train_samples=131072):
             "--epochs", str(epochs), "--train_samples", str(train_samples),
             "--label_dropout", "0", "--feature_dropout", "0"]
     if sharded:
-        args += ["--mesh_shape", "1,8", "--mesh_axes", "data,graph",
+        args += ["--mesh_shape", mesh, "--mesh_axes", "data,graph",
                  "--memory_sharded", "1"]
     buf = io.StringIO()
     t0 = time.time()
@@ -160,15 +160,25 @@ def buddy_preprocessing(n):
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
     out_path = sys.argv[2] if len(sys.argv) > 2 else None
+    # mesh for the ELPH TRAINING phase only.  All virtual devices share ONE
+    # host threadpool sized by the core count; on a 4-core host an
+    # 8-participant cross-module all-reduce at 500k-node shapes can starve
+    # it into deadlock (pure host-simulation artifact — the standing 100k
+    # test runs the [1,8] path green every round; builds/preprocessing at
+    # [8] complete fine at 500k).  Default [1,4] keeps participants <= cores.
+    elph_mesh = sys.argv[3] if len(sys.argv) > 3 else "1,4"
     report = {"backend": "cpu-virtual-8", "nodes": n,
+              "elph_training_mesh": elph_mesh,
               "note": ("equality artifact: CPU-mesh timings are structure "
                        "validation only; loss/metric equality and 1/8 "
-                       "per-device state are the claims")}
+                       "per-device build state are the claims; the ELPH "
+                       "training phase runs on a reduced mesh on small "
+                       "hosts (see elph_training_mesh)")}
     report["buddy_preprocessing"] = buddy_preprocessing(n)
     sys.stderr.write(f"buddy done {report['buddy_preprocessing']}\n")
     report["elph_shard_bytes"] = elph_shard_bytes(n)
     sys.stderr.write(f"shard bytes {report['elph_shard_bytes']}\n")
-    sharded = run_elph(n, True)
+    sharded = run_elph(n, True, mesh=elph_mesh)
     single = run_elph(n, False)
     losses_s, losses_1 = sharded["losses"], single["losses"]
     report["elph_memory_sharded"] = {
