@@ -111,6 +111,46 @@ class HeartbeatDetector:
         if missing:
             raise PeerFailure(sorted(missing), startup_timeout)
 
+    def agree_min(self, tag: str, value: int, poll: float = 0.05,
+                  timeout: float = 120.0) -> int:
+        """All-process agreement on ``min(value)`` — out-of-band, bounded.
+
+        Used to agree the resume step before the epoch loop: each process
+        reads its OWN filesystem view of the checkpoint dir, and if those
+        views differ (fs lag, a non-shared dir, a corrupt step) the
+        processes would enter the epoch-barrier sequence at different
+        epochs and deadlock with fresh heartbeats.  Agreeing on the
+        minimum visible step first makes every process restore the same
+        checkpoint (or none, if any process sees none), so the barrier tag
+        sequences are identical by construction.
+
+        Exchange rides the heartbeat directory (hang-proof: heartbeat
+        checking + a hard ``timeout``), not the collective fabric.
+        """
+        path = os.path.join(self.dir, f"val_{tag}_{{}}")
+        tmp = path.format(self.pid) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(int(value)))
+        os.replace(tmp, path.format(self.pid))
+        deadline = time.time() + timeout
+        values = {self.pid: int(value)}
+        missing = set(range(self.n)) - {self.pid}
+        while missing:
+            for p in list(missing):
+                try:
+                    with open(path.format(p)) as f:
+                        values[p] = int(f.read())
+                    missing.discard(p)
+                except (OSError, ValueError):
+                    pass  # not written yet (or mid-replace); retry
+            if not missing:
+                break
+            self.check()
+            if time.time() > deadline:
+                raise PeerFailure(sorted(missing), timeout)
+            time.sleep(poll)
+        return min(values.values())
+
     def barrier(self, tag: str, poll: float = 0.05,
                 startup_timeout: Optional[float] = None) -> None:
         """Out-of-band, hang-proof epoch barrier.

@@ -228,9 +228,14 @@ def ici_scaling_model(num_nodes: int = 200_000, avg_deg: int = 16,
         G = d // L
         # lane speedup is set by TILE-PADDED row bytes (bandwidth-bound
         # hop), not 1/L: with default widths L=2 buys 768->640B = 1.2x and
-        # larger L nothing (lane_row_bytes docstring)
+        # larger L nothing (lane_row_bytes docstring).  Numerator is the
+        # PADDED L=1 bytes, not the logical row_bytes: the measured
+        # per-chip rate already includes the L=1 layout's tile padding, so
+        # for narrow sketch configs (e.g. num_perm=64 pads 256B->512B)
+        # dividing by the padded L bytes from the un-padded numerator
+        # would model the measured baseline itself at <1x speed.
         lane_bytes = lane_row_bytes(params, L)
-        lane_speed = row_bytes / lane_bytes
+        lane_speed = lane_row_bytes(params, 1) / lane_bytes
         if G == 1:
             # all edges local; reduce runs on the lane slice (L == d)
             t_hop = e / (per_chip_edges_per_s * lane_speed)

@@ -136,6 +136,7 @@ def run(cfg: Config):
         print(f"preprocessing ran in {time.time() - t0:.2f}s")
         state = trainer.init_state(jax.random.PRNGKey(rep))
         start_epoch = 0
+        resumed_meta = None
         if cfg.resume and cfg.checkpoint_dir and rep == 0:
             # real mid-run resume of params + batch stats + optimizer state
             # (the reference can only save final weights, run.py:108-110).
@@ -144,11 +145,27 @@ def run(cfg: Config):
             # the resumed run's remaining epochs are bit-identical to an
             # uninterrupted run's (tests/test_fault.py drill).
             from subgraph_sketching_tpu.train.checkpoint import (
-                latest_step, restore_into,
+                latest_step, load_run_meta, restore_into,
             )
-            if latest_step(cfg.checkpoint_dir) is not None:
-                state, step = restore_into(cfg.checkpoint_dir, state)
+            step = latest_step(cfg.checkpoint_dir)
+            if detector is not None:
+                # processes may see different filesystem states (fs lag, a
+                # partially-synced dir); restoring divergent steps would
+                # desync the epoch-barrier tag sequences and deadlock with
+                # fresh heartbeats.  Agree on the minimum visible step
+                # out-of-band so every process restores the SAME checkpoint
+                # — or none, if any process sees none.
+                step = detector.agree_min(
+                    "resume_step", -1 if step is None else step)
+                step = None if step < 0 else step
+            if step is not None:
+                state, step = restore_into(cfg.checkpoint_dir, state,
+                                           step=step)
                 start_epoch = min(step, cfg.epochs)
+                # best-val tracking is host state, not device state — without
+                # it the resumed run would re-select best-val over the
+                # remaining epochs only and report different final metrics
+                resumed_meta = load_run_meta(cfg.checkpoint_dir, step)
                 print(f"resumed from checkpoint step {step}")
 
         if cfg.check_determinism and rep == 0:
@@ -163,6 +180,11 @@ def run(cfg: Config):
 
         val_res = test_res = train_res = 0.0
         best_epoch = 0
+        if resumed_meta is not None:
+            val_res = resumed_meta.get("val_res", 0.0)
+            test_res = resumed_meta.get("test_res", 0.0)
+            train_res = resumed_meta.get("train_res", 0.0)
+            best_epoch = resumed_meta.get("best_epoch", 0)
         print(f"running repetition {rep}")
         for epoch in range(start_epoch, cfg.epochs):
             t0 = time.time()
@@ -187,15 +209,6 @@ def run(cfg: Config):
                 state, loss = trainer.train_epoch(state, host_rng, epoch_key)
             if detector is not None:
                 detector.check()
-            if (cfg.checkpoint_every and cfg.checkpoint_dir and rep == 0
-                    and (epoch + 1) % cfg.checkpoint_every == 0):
-                # ALL processes call save: orbax coordinates internally
-                # (primary host writes; a process-0-only call would hang in
-                # orbax's own multi-process barrier)
-                from subgraph_sketching_tpu.train.checkpoint import (
-                    save_checkpoint,
-                )
-                save_checkpoint(cfg.checkpoint_dir, state, step=epoch + 1)
             if (epoch + 1) % cfg.eval_steps == 0:
                 results = test(trainer, state, cfg, eval_metric,
                                train_split=getattr(trainer, "train_eval_split",
@@ -224,6 +237,36 @@ def run(cfg: Config):
                           f"Valid: {100 * val_res:.2f}%, "
                           f"Test: {100 * test_res:.2f}%, "
                           f"epoch time: {time.time() - t0:.1f}")
+            if (cfg.checkpoint_every and cfg.checkpoint_dir and rep == 0
+                    and (epoch + 1) % cfg.checkpoint_every == 0):
+                # AFTER this epoch's eval so the sidecar meta carries the
+                # best-val tracking including it.  ALL processes call save:
+                # orbax coordinates internally (primary host writes; a
+                # process-0-only call would hang in orbax's own
+                # multi-process barrier)
+                from subgraph_sketching_tpu.train.checkpoint import (
+                    save_checkpoint, save_run_meta,
+                )
+                save_checkpoint(cfg.checkpoint_dir, state, step=epoch + 1)
+                if jax.process_index() == 0:
+                    save_run_meta(cfg.checkpoint_dir, epoch + 1, {
+                        "val_res": float(val_res), "test_res": float(test_res),
+                        "train_res": float(train_res),
+                        "best_epoch": int(best_epoch)})
+        if start_epoch >= cfg.epochs and cfg.epochs > 0:
+            # resumed from a checkpoint at/past cfg.epochs (e.g. one written
+            # by --save_model after a completed run): the loop body never
+            # ran.  Evaluate the restored state instead of silently
+            # reporting zeros.
+            print(f"checkpoint step {start_epoch} >= epochs {cfg.epochs}; "
+                  f"evaluating restored state")
+            results = test(trainer, state, cfg, eval_metric,
+                           train_split=getattr(trainer, "train_eval_split",
+                                               "train"))
+            for key, result in results.items():
+                train_res, tmp_val, tmp_test = (list(result) + [0.0])[:3]
+                if tmp_val > val_res:
+                    val_res, test_res = tmp_val, tmp_test
         results_list.append([test_res, val_res, train_res])
         if cfg.reps > 1:
             for idx, res in enumerate(results_list):

@@ -304,16 +304,16 @@ class LinkScorer:
             d_idx = _pad_pow2(self._pos(pairs[:, 1]))
             rows = _pad_pow2(self._pos(changed))
             if full or k >= 2:
-                mh, hll, cards = self._hop_update_jit()(
+                mh, hll, cards = self._update_jit(reset=False, hop0=False)(
                     mh, hll, cards,
-                    jnp.asarray(_pad_pow2(self._pos(pairs[:, 0]))),
+                    (jnp.asarray(_pad_pow2(self._pos(pairs[:, 0]))),),
                     jnp.asarray(d_idx), jnp.asarray(rows), kst, k - 1)
             else:
                 # hops-only stack, k == 1: hop-0 source rows recomputed by
                 # node id (padded with merge identities — strict no-ops)
                 s_mh, s_hll = self._hop0_rows_padded(pairs[:, 0], len(d_idx))
-                mh, hll, cards = self._hop0_update_jit()(
-                    mh, hll, cards, s_mh, s_hll,
+                mh, hll, cards = self._update_jit(reset=False, hop0=True)(
+                    mh, hll, cards, (s_mh, s_hll),
                     jnp.asarray(d_idx), jnp.asarray(rows), kst, k - 1)
         self.sk = Sketches(minhash=mh, hll=hll, cards=cards)
         self._extra_edges = np.concatenate([self._extra_edges, edges.T],
@@ -460,100 +460,67 @@ class LinkScorer:
             d_idx = _pad_pow2(self._pos(pairs[:, 1]), fill=pos_fill)
             rows_pos = _pad_pow2(self._pos(rows), fill=pos_fill)
             if full or k >= 2:
-                mh, hll, cards = self._del_update_jit()(
+                mh, hll, cards = self._update_jit(reset=True, hop0=False)(
                     mh, hll, cards,
-                    jnp.asarray(_pad_pow2(self._pos(pairs[:, 0]),
-                                          fill=pos_fill)),
+                    (jnp.asarray(_pad_pow2(self._pos(pairs[:, 0]),
+                                           fill=pos_fill)),),
                     jnp.asarray(d_idx), jnp.asarray(rows_pos), kst, k - 1)
             else:
                 # hops-only stack, k == 1: every source row of the rebuild
                 # (in-neighbours + the self fold-in) is a hop-0 row —
                 # recomputed by node id, padded with merge identities
                 s_mh, s_hll = self._hop0_rows_padded(pairs[:, 0], len(d_idx))
-                mh, hll, cards = self._del0_update_jit()(
-                    mh, hll, cards, s_mh, s_hll,
+                mh, hll, cards = self._update_jit(reset=True, hop0=True)(
+                    mh, hll, cards, (s_mh, s_hll),
                     jnp.asarray(d_idx), jnp.asarray(rows_pos), kst, k - 1)
         self.sk = Sketches(minhash=mh, hll=hll, cards=cards)
 
-    def _del_update_jit(self):
-        """One jitted, buffer-donating per-hop rebuild for delete_edges:
-        reset the affected hop-k rows (stack index ``kst``) to the merge
-        identity, scatter-merge the surviving in-edges' hop-(k-1) rows
-        (stack index ``kst - 1``; self fold-in arrives as explicit (v, v)
-        pairs), recompute the touched cardinalities (column ``kcol``)."""
-        if not hasattr(self, "_del_jit"):
+    def _update_jit(self, reset: bool, hop0: bool):
+        """The single jitted, buffer-donating per-hop scatter-merge behind
+        all four streaming-update variants (in-place on device: eager
+        ``.at[]`` ops would copy the multi-GB stacks per op; donation lets
+        XLA reuse the buffers).
+
+        ``reset=False`` (insert_edges): hop-k rows absorb the new edges'
+        hop-(k-1) source rows — min/max merges are monotone, so merging
+        into the existing rows is exact.
+        ``reset=True`` (delete_edges): the affected hop-k rows are first
+        reset to the merge identity (0xFFFFFFFF / 0), then rebuilt from
+        their full surviving in-neighbourhood (self fold-in arrives as
+        explicit (v, v) pairs) — min/max is not invertible, so deletion
+        must rebuild.
+        ``hop0=False``: source rows come from stack level ``kst - 1``
+        (gathered inside the program — one dispatch per hop).
+        ``hop0=True`` (hops-only stacks, k == 1): hop-0 is not stored;
+        explicit source rows recomputed by node id on host are passed in
+        (``src = (s_mh, s_hll)`` instead of ``(s_idx,)``).
+
+        ``kst`` is hop k's stack index (k for full stacks, k-1 for
+        hops-only); ``kcol`` the cards column (always k-1).  Each
+        (reset, hop0) pair compiles once and is cached.
+        """
+        cache = self.__dict__.setdefault("_upd_jits", {})
+        if (reset, hop0) not in cache:
             from subgraph_sketching_tpu.sketch.hll import hll_count
             p = self.sketch_params.hll_p
 
-            def upd(mh, hll, cards, s_idx, d_idx, rows, kst, kcol):
-                mh = mh.at[kst, rows].set(jnp.uint32(0xFFFFFFFF))
-                hll = hll.at[kst, rows].set(jnp.int8(0))
-                mh = mh.at[kst, d_idx].min(mh[kst - 1, s_idx])
-                hll = hll.at[kst, d_idx].max(hll[kst - 1, s_idx])
-                cards = cards.at[rows, kcol].set(hll_count(hll[kst, rows], p))
-                return mh, hll, cards
-
-            self._del_jit = jax.jit(upd, static_argnums=(6, 7),
-                                    donate_argnums=(0, 1, 2))
-        return self._del_jit
-
-    def _del0_update_jit(self):
-        """delete_edges' hop-1 rebuild for hops-only stacks: the source
-        rows are explicit hop-0 rows (recomputed by node id on host) rather
-        than a stack level."""
-        if not hasattr(self, "_del0_jit"):
-            from subgraph_sketching_tpu.sketch.hll import hll_count
-            p = self.sketch_params.hll_p
-
-            def upd(mh, hll, cards, s_mh, s_hll, d_idx, rows, kst, kcol):
-                mh = mh.at[kst, rows].set(jnp.uint32(0xFFFFFFFF))
-                hll = hll.at[kst, rows].set(jnp.int8(0))
+            def upd(mh, hll, cards, src, d_idx, rows, kst, kcol):
+                if hop0:
+                    s_mh, s_hll = src
+                else:
+                    (s_idx,) = src
+                    s_mh, s_hll = mh[kst - 1, s_idx], hll[kst - 1, s_idx]
+                if reset:
+                    mh = mh.at[kst, rows].set(jnp.uint32(0xFFFFFFFF))
+                    hll = hll.at[kst, rows].set(jnp.int8(0))
                 mh = mh.at[kst, d_idx].min(s_mh)
                 hll = hll.at[kst, d_idx].max(s_hll)
                 cards = cards.at[rows, kcol].set(hll_count(hll[kst, rows], p))
                 return mh, hll, cards
 
-            self._del0_jit = jax.jit(upd, static_argnums=(7, 8),
-                                     donate_argnums=(0, 1, 2))
-        return self._del0_jit
-
-    def _hop_update_jit(self):
-        """One jitted, buffer-donating hop update: scatters in place on
-        device instead of copying the multi-GB stacks per eager .at[] op
-        (eager scatters copy the whole array; donation lets XLA reuse the
-        buffers).  ``kst`` is hop k's stack index (k for full stacks,
-        k-1 for hops-only); ``kcol`` the cards column (always k-1)."""
-        if not hasattr(self, "_hop_jit"):
-            from subgraph_sketching_tpu.sketch.hll import hll_count
-            p = self.sketch_params.hll_p
-
-            def upd(mh, hll, cards, s_idx, d_idx, rows, kst, kcol):
-                mh = mh.at[kst, d_idx].min(mh[kst - 1, s_idx])
-                hll = hll.at[kst, d_idx].max(hll[kst - 1, s_idx])
-                cards = cards.at[rows, kcol].set(hll_count(hll[kst, rows], p))
-                return mh, hll, cards
-
-            self._hop_jit = jax.jit(upd, static_argnums=(6, 7),
-                                    donate_argnums=(0, 1, 2))
-        return self._hop_jit
-
-    def _hop0_update_jit(self):
-        """insert_edges' hop-1 update for hops-only stacks: merges explicit
-        hop-0 source rows (recomputed by node id) instead of stack level
-        k-1."""
-        if not hasattr(self, "_hop0_jit"):
-            from subgraph_sketching_tpu.sketch.hll import hll_count
-            p = self.sketch_params.hll_p
-
-            def upd(mh, hll, cards, s_mh, s_hll, d_idx, rows, kst, kcol):
-                mh = mh.at[kst, d_idx].min(s_mh)
-                hll = hll.at[kst, d_idx].max(s_hll)
-                cards = cards.at[rows, kcol].set(hll_count(hll[kst, rows], p))
-                return mh, hll, cards
-
-            self._hop0_jit = jax.jit(upd, static_argnums=(7, 8),
-                                     donate_argnums=(0, 1, 2))
-        return self._hop0_jit
+            cache[(reset, hop0)] = jax.jit(upd, static_argnums=(6, 7),
+                                           donate_argnums=(0, 1, 2))
+        return cache[(reset, hop0)]
 
 
 class ElphLinkScorer:

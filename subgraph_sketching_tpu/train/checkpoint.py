@@ -7,6 +7,7 @@ orbax, giving real mid-run resume.
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Optional
 
@@ -29,9 +30,10 @@ def _to_host(x):
     if isinstance(x, jax.Array) and not x.is_fully_addressable:
         if x.sharding.is_fully_replicated:
             return np.asarray(x.addressable_shards[0].data)
-        raise ValueError(
-            "save_checkpoint on one process of a multi-process run needs "
-            "fully-replicated state; gather or replicate before saving")
+        # genuinely sharded process-spanning array: hand it to orbax
+        # unchanged — its ArrayHandler writes each host's shards natively
+        # (converting here would need a gather; refusing would break
+        # model/optimizer-sharded layouts that used to save fine)
     return x
 
 
@@ -47,9 +49,35 @@ def latest_step(directory: str) -> Optional[int]:
     base = os.path.abspath(directory)
     if not os.path.isdir(base):
         return None
-    steps = sorted(int(d.split("_")[1]) for d in os.listdir(base)
-                   if d.startswith("step_"))
+    # only fully-numeric suffixes are complete checkpoints: a crash mid-save
+    # leaves orbax temp dirs like ``step_4.orbax-checkpoint-tmp-<ts>`` behind,
+    # and --resume must skip those (crash recovery is exactly when they exist)
+    steps = sorted(int(d[5:]) for d in os.listdir(base)
+                   if d.startswith("step_") and d[5:].isdigit())
     return steps[-1] if steps else None
+
+
+def save_run_meta(directory: str, step: int, meta: dict) -> None:
+    """Sidecar JSON next to ``step_<N>`` holding host-side run state that is
+    not part of the device pytree (best-val tracking: val/test/train_res,
+    best_epoch).  Without it a resumed run restarts best-val selection at
+    0.0 and reports a different best metric than an uninterrupted run even
+    though the device state is bit-identical.  Written atomically; only the
+    writing process needs it to succeed (readers fall back to zeros)."""
+    base = os.path.abspath(directory)
+    os.makedirs(base, exist_ok=True)
+    tmp = os.path.join(base, f"meta_step_{step}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(base, f"meta_step_{step}.json"))
+
+
+def load_run_meta(directory: str, step: int) -> Optional[dict]:
+    path = os.path.join(os.path.abspath(directory), f"meta_step_{step}.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
 
 
 def restore_checkpoint(directory: str, step: Optional[int] = None):

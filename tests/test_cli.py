@@ -105,6 +105,25 @@ def test_optional_int_flags_parse_as_int():
     assert defaults.sample_size is None
 
 
+def test_resume_past_final_epoch_evaluates(tmp_path):
+    """Resuming from a checkpoint at/past --epochs must evaluate the
+    restored state (with the sidecar's best-val tracking), not silently
+    report zeros after skipping the whole epoch loop."""
+    from subgraph_sketching_tpu.runners.run import main
+
+    ck = str(tmp_path / "ck")
+    base = ["--dataset_name", "synth-ba", "--model", "BUDDY",
+            "--hidden_channels", "16", "--batch_size", "256",
+            "--eval_batch_size", "1024", "--epochs", "2", "--K", "20",
+            "--platform", "cpu", "--checkpoint_dir", ck,
+            "--checkpoint_every", "1"]
+    first = main(base)
+    resumed = main(base + ["--resume", "1"])
+    assert first[0][1] > 0.0          # sanity: the run learned something
+    # restored-state eval + restored meta == the uninterrupted run's result
+    assert resumed == first
+
+
 def test_hops_only_sketches_runner_equality():
     """--hops_only_sketches must not change any number: the feature math
     reads hops 1..K either way, so the full runner's metrics are equal."""

@@ -50,7 +50,6 @@ log(f"setup: {time.perf_counter()-t0:.1f}s")
 n = ds_tr.num_nodes
 rng = np.random.default_rng(11)
 # fresh undirected pairs not currently in the graph
-have = set()
 ei = np.asarray(ds_tr.edge_index)
 key = ei[0].astype(np.int64) * n + ei[1]
 have = set(key.tolist())
