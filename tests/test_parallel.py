@@ -460,6 +460,30 @@ def test_ici_scaling_model_structure():
                for r in weak["per_device_count"].values())
 
 
+def test_ici_scaling_model_narrow_config_baseline_not_penalised():
+    """Regression: lane_speed must normalise by the PADDED L=1 row bytes.
+    For sketch widths below one 128-lane tile (num_perm=64), the un-padded
+    numerator modelled the MEASURED L=1 baseline itself at 0.67x speed,
+    skewing every row of the model."""
+    from subgraph_sketching_tpu.parallel.scaling import (
+        ici_scaling_model, lane_row_bytes,
+    )
+    from subgraph_sketching_tpu.sketch.params import SketchParams
+
+    narrow = SketchParams(max_hops=2, num_perm=64, hll_p=8)
+    assert lane_row_bytes(narrow, 1) == 768          # padded above 512
+    m_narrow = ici_scaling_model(num_nodes=20_000, device_counts=[1, 8],
+                                 params=narrow)
+    m_default = ici_scaling_model(num_nodes=20_000, device_counts=[1, 8])
+    # same graph, same partition, same L=1 layout cost model -> identical
+    # efficiencies; before the fix the narrow config differed
+    assert (m_narrow["per_device_count"]["8"]["efficiency"]
+            == m_default["per_device_count"]["8"]["efficiency"])
+    # and lane sharding a narrow config can never be modelled FASTER than
+    # its own L=1 baseline per-byte (padding floors the cut at 1 tile)
+    assert lane_row_bytes(narrow, 2) >= 768 - 128
+
+
 def test_node_sharded_three_hop(setup):
     """K=3 (the Pubmed reproduction config) through the memory-sharded
     build + psum feature assembly: bit-exact tables, feature equality."""
