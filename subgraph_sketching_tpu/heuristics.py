@@ -141,6 +141,14 @@ class DeviceHeuristics:
                 b *= 8
             buckets.append(1 << (max_deg - 1).bit_length())
         self.buckets = tuple(buckets)
+        if self.buckets[-1] < max_deg:
+            # a link whose max endpoint degree exceeds every bucket would
+            # match no bucket in scores() and silently keep score 0.0 —
+            # for exactly the highest-signal hub pairs
+            raise ValueError(
+                f"buckets {self.buckets} do not cover the graph's max "
+                f"degree {max_deg}; add a bucket >= {max_deg} (default "
+                f"buckets are derived from the graph and always cover it)")
         self.chunk_elems = chunk_elems
         self._score_jit = jax.jit(self._score_chunk,
                                   static_argnames=("D", "B"))

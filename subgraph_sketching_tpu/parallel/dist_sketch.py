@@ -89,6 +89,10 @@ def lane_sharded_subgraph_features(
     m = params.m
     assert params.num_perm % n_dev == 0 and m % n_dev == 0
     p = params.hll_p
+    # hops 0..K stacks slice off hop 0; K-row hops-only stacks
+    # (--hops_only_sketches, the citation2-scale memory-fit layout) are
+    # used as-is — same adaptation as sketch/elph.py:118
+    s = sk.minhash.shape[0] - K
 
     @functools.partial(
         shard_map, mesh=mesh,
@@ -97,8 +101,8 @@ def lane_sharded_subgraph_features(
         check_vma=False)
     def features(lnk, minhash, hll):
         u, v = lnk[:, 0], lnk[:, 1]
-        mh_u, mh_v = minhash[1:, u, :], minhash[1:, v, :]
-        hll_u, hll_v = hll[1:, u, :], hll[1:, v, :]
+        mh_u, mh_v = minhash[s:, u, :], minhash[s:, v, :]
+        hll_u, hll_v = hll[s:, u, :], hll[s:, v, :]
         # partial jaccard matches over the local lane shard -> psum
         match = jnp.sum((mh_u[:, None] == mh_v[None, :]).astype(jnp.float32),
                         axis=-1)
@@ -123,8 +127,8 @@ def lane_sharded_subgraph_features(
                 jnp.sum(pow2_neg(regs), axis=-1), axis)
             return hll_count_from_stats(nz, ps, p)
 
-        cu = jnp.stack([count_rows(hll[k + 1, u, :]) for k in range(K)], axis=1)
-        cv = jnp.stack([count_rows(hll[k + 1, v, :]) for k in range(K)], axis=1)
+        cu = jnp.stack([count_rows(hll[s + k, u, :]) for k in range(K)], axis=1)
+        cv = jnp.stack([count_rows(hll[s + k, v, :]) for k in range(K)], axis=1)
         return _ladder(inter, cu, cv, params)
 
     return features(links, sk.minhash, sk.hll)
@@ -133,3 +137,32 @@ def lane_sharded_subgraph_features(
 def _ladder(inter, cu, cv, params: SketchParams) -> jnp.ndarray:
     from subgraph_sketching_tpu.sketch.elph import inclusion_exclusion_ladder
     return inclusion_exclusion_ladder(inter, cu, cv, params)
+
+
+def lane_sharded_subgraph_features_batched(
+        links, sk: Sketches, params: SketchParams, mesh: Mesh,
+        axis: str = "lane", batch_size: int = 1 << 18) -> jnp.ndarray:
+    """Chunked driver for :func:`lane_sharded_subgraph_features`.
+
+    The one-shot path materialises the [K, K, B, m/L] union tensor for the
+    whole batch; for multi-million-link splits that is tens of GB per
+    device — exactly on the very-wide-sketch configs the lane axis exists
+    for.  Chunk at ``batch_size`` (power-of-two padded so repeat chunks
+    share compiled programs), mirroring ``subgraph_features_batched``."""
+    import numpy as np
+
+    links = np.asarray(links)
+    n = links.shape[0]
+    bucket = 1 << max(8, (max(1, min(n, batch_size)) - 1).bit_length())
+    bucket = min(bucket, batch_size)
+    out = []
+    for i in range(0, n, bucket):
+        chunk = links[i:i + bucket]
+        pad = bucket - len(chunk)
+        if pad:
+            chunk = np.concatenate(
+                [chunk, np.zeros((pad, 2), dtype=chunk.dtype)])
+        sf = lane_sharded_subgraph_features(
+            jnp.asarray(chunk), sk, params, mesh, axis=axis)
+        out.append(np.asarray(sf)[:bucket - pad])
+    return jnp.asarray(np.concatenate(out))

@@ -126,18 +126,44 @@ class HeartbeatDetector:
 
         Exchange rides the heartbeat directory (hang-proof: heartbeat
         checking + a hard ``timeout``), not the collective fabric.
+
+        Stale-file safety: a restart that reuses the directory sees the
+        previous incarnation's ``val_`` files, and (unlike the barrier,
+        where staleness only weakens) a stale VALUE read here would make
+        processes restore DIVERGENT checkpoints.  So freshness is
+        enforced: every participant re-writes its value file each poll
+        while waiting, and a reader only accepts a peer file whose mtime
+        is at least its own first write's (mtimes come from the same fs
+        server, so the comparison is skew-free — same trick as
+        ``check()``).  A dead incarnation's file never refreshes and is
+        ignored until the timeout raises ``PeerFailure``; a live peer
+        that wrote earlier refreshes within one ``poll`` and is accepted.
         """
         path = os.path.join(self.dir, f"val_{tag}_{{}}")
-        tmp = path.format(self.pid) + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(int(value)))
-        os.replace(tmp, path.format(self.pid))
+
+        def write_own():
+            tmp = path.format(self.pid) + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(str(int(value)))
+            os.replace(tmp, path.format(self.pid))
+
+        write_own()
+        my_mtime = os.path.getmtime(path.format(self.pid))
+        # a peer that COMPLETES its agreement stops re-writing; its last
+        # write happened at most one poll (+ fs mtime granularity) before
+        # it read our fresh value, so accept that much slack.  A dead
+        # incarnation's file would need to have been written within ~1s of
+        # this process's start to slip through — a restart cannot be that
+        # fast (process spawn + jax init alone take seconds).
+        fresh_floor = my_mtime - poll - 1.0
         deadline = time.time() + timeout
         values = {self.pid: int(value)}
         missing = set(range(self.n)) - {self.pid}
         while missing:
             for p in list(missing):
                 try:
+                    if os.path.getmtime(path.format(p)) < fresh_floor:
+                        continue  # stale: a previous incarnation's file
                     with open(path.format(p)) as f:
                         values[p] = int(f.read())
                     missing.discard(p)
@@ -149,6 +175,7 @@ class HeartbeatDetector:
             if time.time() > deadline:
                 raise PeerFailure(sorted(missing), timeout)
             time.sleep(poll)
+            write_own()  # keep own file fresh for late-starting peers
         return min(values.values())
 
     def barrier(self, tag: str, poll: float = 0.05,

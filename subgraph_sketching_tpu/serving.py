@@ -617,7 +617,7 @@ def scorer_from_checkpoint(checkpoint_dir: str, cfg=None,
 
     from subgraph_sketching_tpu.config import Config
     from subgraph_sketching_tpu.graph.datasets import get_data
-    from subgraph_sketching_tpu.graph.preprocess import build_link_dataset
+    from subgraph_sketching_tpu.graph.preprocess import build_all_splits
     from subgraph_sketching_tpu.runners.run import build_trainer
     from subgraph_sketching_tpu.train.checkpoint import restore_into
 
@@ -630,8 +630,10 @@ def scorer_from_checkpoint(checkpoint_dir: str, cfg=None,
         with open(path) as f:
             cfg = Config.from_json(f.read())
     splits, directed, _ = get_data(cfg)
-    datasets = {k: build_link_dataset(sd, cfg, k, directed=directed)
-                for k, sd in splits.items()}
+    # build_all_splits (the runner's own path): splits sharing the train
+    # message graph reuse its SIGN features and sketch tables instead of
+    # re-running the minutes-scale preprocessing per split
+    datasets = build_all_splits(splits, cfg, directed=directed)
     num_features = (None if datasets["train"].x is None
                     else datasets["train"].x.shape[-1])
     trainer = build_trainer(cfg, datasets, num_features)

@@ -118,6 +118,38 @@ def test_agree_min_two_threads(tmp_path):
         d1.stop()
 
 
+def test_agree_min_ignores_stale_files_from_previous_incarnation(tmp_path):
+    """A restart that reuses the heartbeat dir sees the previous run's
+    val_ files; reading one would make processes restore DIVERGENT
+    checkpoints.  Backdated files must be ignored in favour of the fresh
+    write."""
+    import threading
+
+    # previous incarnation left val files with DIFFERENT (wrong) values
+    for pid, stale_val in ((0, 1), (1, 1)):
+        f = tmp_path / f"val_rs_{pid}"
+        f.write_text(str(stale_val))
+        old = time.time() - 300.0
+        os.utime(f, (old, old))
+
+    d0 = HeartbeatDetector(str(tmp_path), 0, 2, interval=0.05, timeout=5.0)
+    d1 = HeartbeatDetector(str(tmp_path), 1, 2, interval=0.05, timeout=5.0)
+    d0.start()
+    d1.start()
+    out = {}
+    try:
+        t = threading.Thread(
+            target=lambda: out.update(r1=d1.agree_min("rs", 7, timeout=10.0)))
+        t.start()
+        out["r0"] = d0.agree_min("rs", 5, timeout=10.0)
+        t.join(timeout=10.0)
+        # fresh agreement is min(5, 7) = 5; the stale 1s must not leak in
+        assert out["r0"] == out["r1"] == 5
+    finally:
+        d0.stop()
+        d1.stop()
+
+
 def test_agree_min_absent_peer_times_out(tmp_path):
     d0 = HeartbeatDetector(str(tmp_path), 0, 2, interval=0.05, timeout=30.0)
     d0.start()

@@ -321,6 +321,24 @@ def test_device_heuristics_bucket_pad_uses_own_bucket():
                                atol=1e-5)
 
 
+def test_device_heuristics_rejects_undersized_buckets():
+    """Regression: caller-supplied buckets that don't cover max degree made
+    hub links silently score 0.0 (no bucket matched them); now a loud
+    ValueError at construction."""
+    import pytest
+    import scipy.sparse as ssp
+    from subgraph_sketching_tpu.heuristics import DeviceHeuristics
+
+    n = 120
+    hub_dst = np.arange(1, 101)
+    src = np.concatenate([np.zeros(100, np.int64), hub_dst])
+    dst = np.concatenate([hub_dst, np.zeros(100, np.int64)])
+    A = ssp.csr_matrix((np.ones(len(src)), (src, dst)), shape=(n, n))
+    with pytest.raises(ValueError, match="max.*degree"):
+        DeviceHeuristics(A, buckets=(32, 64))
+    DeviceHeuristics(A, buckets=(32, 128))  # covering buckets are fine
+
+
 def test_ppr_scores_in_input_order():
     """Regression: PPR scores were returned src-sorted while callers kept
     input order (breaking citation2 per-positive negative alignment)."""

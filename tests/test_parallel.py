@@ -53,6 +53,40 @@ def test_lane_sharded_matches_single_device(setup):
     np.testing.assert_allclose(sf, sf_ref, rtol=1e-6, atol=1e-4)
 
 
+def test_lane_sharded_accepts_hops_only_stacks(setup):
+    """Regression: the lane path hardcoded hops-0..K stacks ([1:] slices /
+    hll[k+1]) and broke on K-row hops-only stacks — the citation2-scale
+    memory-fit layout (--hops_only_sketches) could not combine with the
+    lane mesh axis."""
+    g, params, sk_ref, links = setup
+    mesh = make_mesh([8], ("lane",))
+    sk_ho = build_hash_tables(jnp.asarray(g.edge_index), 64, params,
+                              hops_only=True)
+    assert sk_ho.minhash.shape[0] == params.max_hops  # K rows, no hop 0
+    sf_ref = np.asarray(subgraph_features(jnp.asarray(links), sk_ref, params))
+    sf = np.asarray(lane_sharded_subgraph_features(
+        jnp.asarray(links), sk_ho, params, mesh))
+    np.testing.assert_allclose(sf, sf_ref, rtol=1e-6, atol=1e-4)
+
+
+def test_lane_sharded_batched_matches_one_shot(setup):
+    """The chunked lane-feature driver (memory-bounded) equals the one-shot
+    path, including across chunk boundaries and the padded tail."""
+    from subgraph_sketching_tpu.parallel import (
+        lane_sharded_subgraph_features_batched,
+    )
+    g, params, sk_ref, links = setup
+    mesh = make_mesh([8], ("lane",))
+    rng = np.random.default_rng(5)
+    many = np.stack([rng.integers(0, 64, 700),
+                     rng.integers(0, 64, 700)], axis=1).astype(np.int32)
+    one_shot = np.asarray(lane_sharded_subgraph_features(
+        jnp.asarray(many), sk_ref, params, mesh))
+    chunked = np.asarray(lane_sharded_subgraph_features_batched(
+        many, sk_ref, params, mesh, batch_size=256))
+    np.testing.assert_allclose(chunked, one_shot, rtol=1e-6, atol=1e-4)
+
+
 @pytest.mark.parametrize("method", ["contiguous", "locality"])
 def test_node_sharded_build_matches_single_device(setup, method):
     """Memory-sharded (node-partitioned, halo-exchange) construction must be
