@@ -84,6 +84,18 @@ def seal_extract_batch_native(
             "graph has >= 2^31 nonzeros — beyond the native extractor's "
             "int32 CSR; use the python path")
     B = len(links)
+    links_arr = np.asarray(links)
+    if B and (links_arr.min() < 0 or links_arr.max() >= num_nodes):
+        # the C++ extractor indexes per-thread stamp/local_id arrays by
+        # node id with no bounds check (speed); a stray id (e.g. a -1 pad
+        # leaking into the link table) would corrupt the heap inside the
+        # OpenMP workers instead of failing diagnosably.  Check the
+        # ORIGINAL array: an int64 id >= 2^32 would wrap through the int32
+        # cast and silently alias a valid node.
+        bad = links_arr[((links_arr < 0) | (links_arr >= num_nodes)).any(1)]
+        raise ValueError(
+            f"link endpoints out of range [0, {num_nodes}): "
+            f"{bad[:5].tolist()}{' …' if len(bad) > 5 else ''}")
     links_c = np.ascontiguousarray(links, dtype=np.int32)
     indptr = np.ascontiguousarray(indptr, dtype=np.int32)
     indices = np.ascontiguousarray(indices, dtype=np.int32)

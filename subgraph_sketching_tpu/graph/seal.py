@@ -133,12 +133,28 @@ class SEALDataset:
     def __len__(self) -> int:
         return len(self.links)
 
-    def extract_one(self, idx: int):
+    def extract_one(self, idx: int, max_nodes: Optional[int] = None):
+        if max_nodes is None:
+            # default to the dataset's cap so EVERY caller sees labels
+            # consistent with what batch() feeds the model
+            max_nodes = self.max_nodes
         src, dst = int(self.links[idx, 0]), int(self.links[idx, 1])
         nodes, adj, dists, x, y = k_hop_subgraph(
             src, dst, self.num_hops, self.A, self.ratio_per_hop,
             self.max_nodes_per_hop, self.x, self.labels[idx],
             self.directed, self.A_csc)
+        if max_nodes is not None and len(nodes) > max_nodes:
+            # truncate BEFORE labelling: the batch keeps only the first
+            # max_nodes nodes (centres + earliest hops), so z must describe
+            # the subgraph the model actually sees — distances through
+            # dropped nodes would be inconsistent with the kept edge set,
+            # and the native extractor (which stops discovery at the cap)
+            # would disagree with the python path
+            nodes = nodes[:max_nodes]
+            dists = dists[:max_nodes]
+            adj = adj[:max_nodes, :][:, :max_nodes]
+            if x is not None:
+                x = x[:max_nodes]
         z = label_nodes(adj, dists, self.node_label, self.max_dist)
         u, v = adj.nonzero()
         w = np.asarray(adj[u, v]).ravel()
@@ -216,10 +232,13 @@ class SEALDataset:
             dst_degree=np.zeros(B, np.float32),
         )
         for bi, idx in enumerate(indices):
-            nodes, z, (u, v, w), x, y, sd, dd = self.extract_one(int(idx))
-            n = min(len(nodes), N)
-            keep = (u < n) & (v < n)
-            u, v, w = u[keep][:E], v[keep][:E], w[keep][:E]
+            nodes, z, (u, v, w), x, y, sd, dd = self.extract_one(
+                int(idx), max_nodes=N)
+            # extract_one truncates BEFORE labelling, so len(nodes) <= N and
+            # the adjacency (hence u/v) is already within range — only the
+            # edge-count cap remains
+            n = len(nodes)
+            u, v, w = u[:E], v[:E], w[:E]
             e = len(u)
             out.z[bi, :n] = z[:n]
             out.node_mask[bi, :n] = True

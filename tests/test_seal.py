@@ -87,6 +87,64 @@ def test_seal_dataset_batches():
     np.testing.assert_array_equal(batch.z, b2.z)
 
 
+def test_python_labels_computed_on_truncated_subgraph():
+    """Regression: the python path labelled the FULL subgraph then sliced
+    to max_nodes, so z for kept nodes reflected paths through dropped
+    nodes — inconsistent with the edge set the model sees, and divergent
+    from the native extractor (which stops discovery at the cap).  Labels
+    must be computed on the truncated subgraph."""
+    from subgraph_sketching_tpu.graph.seal import label_nodes
+
+    # target edge (0,1); a short src-dst path through node 2; a longer
+    # path through high-id nodes 8, 9 (sorted fringe order puts them last,
+    # so max_nodes=4 keeps [0, 1, 2, 8] and drops 9)
+    edges = np.array([[0, 1], [0, 2], [2, 1], [0, 9], [9, 8], [8, 1]])
+    ei = np.concatenate([edges, edges[:, ::-1]]).T
+    g = Graph(np.ascontiguousarray(ei), 10)
+    ds = SEALDataset(g, np.array([[0, 1]]), np.zeros((0, 2), np.int64),
+                     num_hops=2, max_nodes=4, max_edges=32,
+                     use_feature=False)
+    nodes, z, (u, v, w), x, y, sd, dd = ds.extract_one(0)
+    assert list(nodes) == [0, 1, 2, 8]
+    # independent recompute on the truncated adjacency (target edge out)
+    A = g.csr()
+    adj = A[nodes, :][:, nodes].tolil()
+    adj[0, 1] = adj[1, 0] = 0
+    want = label_nodes(adj.tocsr(), [0, 0, 1, 1], "drnl", 1000)
+    np.testing.assert_array_equal(np.asarray(z), np.asarray(want))
+    # the BATCH path (the production call site) must agree — this pins the
+    # max_nodes plumbing in _extract_batch_python, not just extract_one
+    batch = ds._extract_batch_python(np.array([0]))
+    np.testing.assert_array_equal(batch.z[0], np.asarray(want, np.int32))
+    # and the old behaviour (full-label-then-slice) is genuinely different
+    # here: dropping node 9 leaves node 8 with the masked dst as its only
+    # kept neighbour, so under DRNL's dst-masking its distance to src
+    # becomes UNREACHABLE (capped at max_dist), not the 2 it had via 9
+    full_nodes, full_adj, full_dists, _, _ = k_hop_subgraph(0, 1, 2, A)
+    old = label_nodes(full_adj, full_dists, "drnl", 1000)[:4]
+    assert not np.array_equal(np.asarray(z), np.asarray(old))
+
+
+def test_native_rejects_out_of_range_links():
+    """The C++ extractor indexes per-node arrays with no bounds check; the
+    wrapper must refuse out-of-range link ids loudly instead of letting
+    them corrupt the heap."""
+    from subgraph_sketching_tpu.graph.native import (
+        have_native, seal_extract_batch_native,
+    )
+    if not have_native():
+        pytest.skip("native library unavailable")
+    ei, A = two_squares_bridge()
+    bad_links = np.array([[0, 8]], dtype=np.int32)  # 8 >= num_nodes
+    with pytest.raises(ValueError, match="out of range"):
+        seal_extract_batch_native(A.indptr, A.indices, None, 8, bad_links,
+                                  1, 8, 32, 1000, "drnl")
+    with pytest.raises(ValueError, match="out of range"):
+        seal_extract_batch_native(A.indptr, A.indices, None, 8,
+                                  np.array([[-1, 1]], dtype=np.int32),
+                                  1, 8, 32, 1000, "drnl")
+
+
 @pytest.mark.parametrize("model_name", ["gcn", "sage", "gin", "dgcnn", "mlp"])
 def test_seal_models_forward(model_name):
     from subgraph_sketching_tpu.models.seal import (
