@@ -332,14 +332,21 @@ def make_parser() -> argparse.ArgumentParser:
     return parser
 
 
-def main(argv=None):
-    args = make_parser().parse_args(argv)
+def config_from_parsed(args) -> Config:
+    """Parsed-args -> Config, including the negative-means-unlimited
+    normalization for the sample-count fields (the reference CLI's -1
+    sentinel).  Shared with tools/repro_baseline.py so reproduction runs
+    get the exact semantics of this CLI."""
     d = vars(args)
     for k in ("train_samples", "val_samples", "test_samples",
               "train_cache_size"):
         if d[k] is not None and d[k] < 0:
             d[k] = inf
-    cfg = Config(**d)
+    return Config(**d)
+
+
+def main(argv=None):
+    cfg = config_from_parsed(make_parser().parse_args(argv))
     from subgraph_sketching_tpu.metrics_logging import apply_sweep_overrides
     cfg = apply_sweep_overrides(cfg)  # reference wandb_setup.py:31
     if cfg.platform:

@@ -37,6 +37,12 @@ def run(cfg: Config, heuristics=("RA", "CN", "AA", "PPR"),
         k = 50
     elif cfg.dataset_name == "ogbl-ppi":
         k = 20
+    # also evaluate at the config's --K when it differs, so heuristic rows
+    # are directly comparable with model rows scored at cfg.K (the quality
+    # artifact compares tiers; Hits@100 vs Hits@50 rows are not comparable)
+    extra_ks = [cfg.K] if cfg.K and cfg.K != k else []
+    if cfg.dataset_name == "ogbl-citation2":
+        extra_ks = []  # MRR protocol: no Hits@K rides along
 
     # dataset load / split / CSR / device staging happen ONCE per rep and
     # are shared by every heuristic (they were previously redone per
@@ -73,12 +79,15 @@ def run(cfg: Config, heuristics=("RA", "CN", "AA", "PPR"),
 
             (ptr, ntr), (pv, nv), (pt, nt) = (preds["train"], preds["valid"],
                                               preds["test"])
+            extras = ()
             if cfg.dataset_name == "ogbl-citation2":
                 res = evaluate_mrr(ptr, ntr, pv, nv, pt, nt)
                 key = "MRR"
             else:
-                res = evaluate_hits(ptr, ntr, pv, nv, pt, nt, Ks=[k])
+                res = evaluate_hits(ptr, ntr, pv, nv, pt, nt,
+                                    Ks=[k] + extra_ks)
                 key = f"Hits@{k}"
+                extras = tuple(res[f"Hits@{ek}"][2] for ek in extra_ks)
             print(f"{name} rep {rep}: {key} {res[key]}")
             auc = evaluate_auc(np.concatenate([pv, nv]),
                                np.concatenate([np.ones(len(pv)),
@@ -90,7 +99,8 @@ def run(cfg: Config, heuristics=("RA", "CN", "AA", "PPR"),
             # AUC rides along with the hits/mrr triple: Hits@K saturates on
             # dense synthetic graphs (RA/CN/AA tie to two decimals on
             # synth-ws) while AUC still separates the weightings
-            results_by_name[name].append(tuple(res[key]) + tuple(auc["AUC"]))
+            results_by_name[name].append(tuple(res[key]) + tuple(auc["AUC"])
+                                         + extras)
             times[name] += time.time() - t0
 
     all_results = {}
@@ -102,6 +112,8 @@ def run(cfg: Config, heuristics=("RA", "CN", "AA", "PPR"),
                    f"{name}_test_std": arr[:, 2].std(),
                    f"{name}_val_auc_mean": arr[:, 3].mean(),
                    f"{name}_test_auc_mean": arr[:, 4].mean()}
+        for j, ek in enumerate(extra_ks):
+            summary[f"{name}_hits{ek}_test_mean"] = arr[:, 5 + j].mean()
         print(summary)
         print(f"{name} scored in {times[name]:.1f}s over {cfg.reps} reps")
         all_results[name] = summary

@@ -108,17 +108,31 @@ def dataset_status(dataset_name: str, data_root: str):
             f"{os.path.join(data_root, dataset_name, 'raw')}/ — e.g. from "
             f"github.com/kimiyoung/planetoid (data/) or any "
             f"torch_geometric Planetoid download")
-    # ogb: installed package with a downloaded copy, or the raw layout
+    # ogb: availability means DATA ON DISK — a merely-installed ogb package
+    # would try to download at run time (this environment has no egress),
+    # so the package alone must not report available.  A package-downloaded
+    # copy has the same raw/edge.csv.gz the raw parser reads; a copy whose
+    # raw/ was pruned after processing still loads via the package from
+    # processed/.
     try:
         import ogb.linkproppred  # noqa: F401
         have_pkg = True
     except ImportError:
         have_pkg = False
     base = ogb_raw_dir(dataset_name, data_root)
-    if os.path.exists(os.path.join(base, "raw", "edge.csv.gz")):
+    if have_pkg and os.path.isdir(os.path.join(base, "processed")):
         return True, ""
-    if have_pkg:
-        return True, ""  # the package will download/load from its root
+    if os.path.exists(os.path.join(base, "raw", "edge.csv.gz")):
+        if not have_pkg:
+            # the package-free parser still needs torch for split/*.pt
+            try:
+                import torch  # noqa: F401
+            except ImportError:
+                return False, (
+                    f"raw layout found at {base}/ but neither ogb nor torch "
+                    f"is importable — the split/*.pt files need torch to "
+                    f"deserialize; install torch (cpu build is enough)")
+        return True, ""
     return False, (
         f"place the extracted OGB dataset at {base}/ "
         f"(raw/edge.csv.gz, raw/num-node-list.csv.gz, raw/node-feat.csv.gz "
@@ -177,15 +191,9 @@ def main(argv=None):
         print(f"[{name}] {ds}: available")
         if args.check:
             continue
-        parsed = make_parser().parse_args(
-            spec["args"] + ["--reps", str(args.reps)])
-        d = vars(parsed)
-        from math import inf
-        for k in ("train_samples", "val_samples", "test_samples",
-                  "train_cache_size"):
-            if d[k] is not None and d[k] < 0:
-                d[k] = inf
-        cfg = Config(**d)
+        from subgraph_sketching_tpu.runners.run import config_from_parsed
+        cfg = config_from_parsed(make_parser().parse_args(
+            spec["args"] + ["--reps", str(args.reps)]))
         cfg.data_root = data_root
         if args.epochs is not None:
             cfg.epochs = args.epochs

@@ -6,10 +6,12 @@ Usage:  python tools/run_protocol.py [--round 2] [--reps 10] [--platform cpu]
 """
 import argparse
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 CONFIGS = {
     "buddy-synth-ws": dict(dataset_name="synth-ws", model="BUDDY", epochs=30,
@@ -61,9 +63,12 @@ def main():
     from subgraph_sketching_tpu.config import Config
     from subgraph_sketching_tpu.runners.run import run
 
-    path = f"/root/repo/QUALITY_r{args.round:02d}.json"
-    out = {"protocol": f"{args.reps} reps, best-val model selection, "
-                       "mean +/- std (reference README.md:100-104)"}
+    path = os.path.join(REPO, f"QUALITY_r{args.round:02d}.json")
+    # per-row "reps" fields record each row's own protocol; the top-level
+    # field must NOT encode this run's --reps or a partial re-run (--only X
+    # --reps 3) would misdocument every previously recorded row
+    out = {"protocol": "best-val model selection, mean +/- std over the "
+                       "per-row 'reps' count (reference README.md:100-104)"}
     # ALWAYS merge into an existing artifact: a default run must not delete
     # rows it chose not to re-run (e.g. the opt-in SEAL row)
     try:
@@ -90,14 +95,20 @@ def main():
     for name, kw in selected.items():
         if name == "heuristics-synth-ws":
             from subgraph_sketching_tpu.runners import run_heuristics
-            cfg = Config(dataset_name="synth-ws", reps=1)
+            # K=50 rides along beside the reference-protocol Hits@100 so
+            # the heuristic tier is directly comparable with the model
+            # rows above (all scored at Hits@50)
+            cfg = Config(dataset_name="synth-ws", reps=1, K=50)
             t0 = time.time()
             hs = ("RA", "CN", "AA", "PPR")
             res = run_heuristics.run(cfg, heuristics=hs)
             out[name] = {
-                "metric": "Hits@100 + AUC",  # synth-ws is not an ogbl-* name
+                "metric": "Hits@100 (reference protocol) + Hits@50 "
+                          "(model-tier comparable) + AUC",
                 **{f"{h}_test_mean": round(res[h][f"{h}_test_mean"], 2)
                    for h in hs},
+                **{f"{h}_hits50_test_mean":
+                   round(res[h][f"{h}_hits50_test_mean"], 2) for h in hs},
                 **{f"{h}_test_auc": round(res[h][f"{h}_test_auc_mean"], 4)
                    for h in hs},
                 "note": ("identical RA/CN/AA Hits@100 and near-identical "

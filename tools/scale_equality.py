@@ -157,7 +157,30 @@ def buddy_preprocessing(n):
             "max_feature_delta": max_sf_delta}
 
 
+PHASES = {
+    "buddy": lambda n, mesh: buddy_preprocessing(n),
+    "shard_bytes": lambda n, mesh: elph_shard_bytes(n),
+    "elph_sharded": lambda n, mesh: run_elph(n, True, mesh=mesh),
+    "elph_single": lambda n, mesh: run_elph(n, False),
+}
+
+
 def main():
+    argv = sys.argv[1:]
+    if argv and argv[0] == "--phase":
+        # child mode: one phase in a FRESH process, result as one stdout
+        # line.  Per-phase subprocesses make rss_gb honest — ru_maxrss is a
+        # process-lifetime high-water mark, so running all phases in one
+        # process would let every later phase inherit the earlier phases'
+        # peaks (the round-4 artifact showed 'sharded 16.2 GB' that was
+        # really the single-device reference build's peak).
+        phase, n = argv[1], int(argv[2])
+        mesh = argv[3] if len(argv) > 3 else "1,4"
+        res = PHASES[phase](n, mesh)
+        print("PHASE_JSON:" + json.dumps(res), flush=True)
+        return
+
+    import subprocess
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
     out_path = sys.argv[2] if len(sys.argv) > 2 else None
     # mesh for the ELPH TRAINING phase only.  All virtual devices share ONE
@@ -173,13 +196,39 @@ def main():
                        "validation only; loss/metric equality and 1/8 "
                        "per-device build state are the claims; the ELPH "
                        "training phase runs on a reduced mesh on small "
-                       "hosts (see elph_training_mesh)")}
-    report["buddy_preprocessing"] = buddy_preprocessing(n)
-    sys.stderr.write(f"buddy done {report['buddy_preprocessing']}\n")
-    report["elph_shard_bytes"] = elph_shard_bytes(n)
-    sys.stderr.write(f"shard bytes {report['elph_shard_bytes']}\n")
-    sharded = run_elph(n, True, mesh=elph_mesh)
-    single = run_elph(n, False)
+                       "hosts (see elph_training_mesh); each phase runs in "
+                       "its own subprocess so rss_gb is that phase's own "
+                       "peak, not an inherited high-water mark")}
+
+    def write():
+        blob = json.dumps(report, indent=1)
+        print(blob, flush=True)
+        if out_path:
+            with open(out_path, "w") as f:
+                f.write(blob)
+
+    def run_phase(name):
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--phase", name,
+             str(n), elph_mesh], capture_output=True, text=True)
+        sys.stderr.write(p.stderr[-4000:])
+        for line in p.stdout.splitlines():
+            if line.startswith("PHASE_JSON:"):
+                return json.loads(line[len("PHASE_JSON:"):])
+        raise RuntimeError(
+            f"phase {name} produced no result (rc={p.returncode}): "
+            f"{p.stdout[-500:]} {p.stderr[-1500:]}")
+
+    # incremental writes: the deadlock-prone ELPH training phases run LAST,
+    # and a phase failure must not lose the equality results already won
+    report["buddy_preprocessing"] = run_phase("buddy")
+    write()
+    report["elph_shard_bytes"] = run_phase("shard_bytes")
+    write()
+    sharded = run_phase("elph_sharded")
+    report["elph_memory_sharded"] = {"sharded": sharded}
+    write()
+    single = run_phase("elph_single")
     losses_s, losses_1 = sharded["losses"], single["losses"]
     report["elph_memory_sharded"] = {
         "sharded": sharded, "single_device": single,
@@ -190,11 +239,7 @@ def main():
         "max_metric_delta": float(np.max(np.abs(
             np.asarray(sharded["results"]) - np.asarray(single["results"])))),
     }
-    blob = json.dumps(report, indent=1)
-    print(blob)
-    if out_path:
-        with open(out_path, "w") as f:
-            f.write(blob)
+    write()
 
 
 if __name__ == "__main__":
