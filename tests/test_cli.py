@@ -92,6 +92,22 @@ def test_heuristics_runner_reference_flags(tmp_path):
     assert any("CN_test_mean" in rec for rec in lines)
 
 
+def test_heuristics_extra_k_rides_along():
+    """With --K differing from the reference's dataset-specific K, the
+    heuristics runner also reports Hits@K so the tier is comparable with
+    model rows scored at cfg.K (QUALITY artifact comparability)."""
+    from subgraph_sketching_tpu.config import Config
+    from subgraph_sketching_tpu.runners import run_heuristics
+
+    res = run_heuristics.run(Config(dataset_name="synth-ba", reps=1, K=50),
+                             heuristics=("CN",))
+    assert "CN_test_mean" in res["CN"]            # reference-protocol K=100
+    assert "CN_hits50_test_mean" in res["CN"]     # cfg.K rides along
+    res100 = run_heuristics.run(Config(dataset_name="synth-ba", reps=1),
+                                heuristics=("CN",))
+    assert not any("hits" in k for k in res100["CN"])  # K==100: no extra
+
+
 def test_optional_int_flags_parse_as_int():
     """--max_nodes_per_hop 50 must parse to int(50), not '50' (the string
     fallback for Optional[int] fields crashed the native SEAL extractor)."""
