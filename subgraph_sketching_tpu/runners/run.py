@@ -21,7 +21,7 @@ import numpy as np
 from subgraph_sketching_tpu.config import Config
 from subgraph_sketching_tpu.graph.datasets import get_data
 from subgraph_sketching_tpu.graph.preprocess import (
-    build_link_dataset, sketch_params_from_config,
+    sketch_params_from_config,
 )
 from subgraph_sketching_tpu.train.inference import test
 from subgraph_sketching_tpu.train.loops import BuddyTrainer, ElphTrainer

@@ -12,7 +12,6 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from subgraph_sketching_tpu.sketch.node_hash import node_base_hashes
 
 _MERSENNE_PRIME = np.uint64((1 << 61) - 1)
 _MAX_MINHASH = np.uint64((1 << 32) - 1)
