@@ -7,18 +7,25 @@ sees: after one warm-up round trip, time repeated insert->delete round
 trips at two batch sizes.  Host-side affected-set work (np.isin scans,
 partition translation) is deliberately included — it is part of the
 latency.  Run on the real chip.
+
+Usage: python tools/probe_streaming_steady.py [round] — with a round
+number, merges a "streaming_steady" section into SERVING_r{NN}.json so
+the figure is comparable across rounds.
 """
+import json
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 import numpy as np
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
 
-OUT = open("/root/repo/tools/perf_out.txt", "a", buffering=1)
+OUT = open(os.path.join(REPO, "tools", "perf_out.txt"), "a", buffering=1)
 
 
 def log(msg):
@@ -85,6 +92,7 @@ for _ in range(5):
 t_read = np.median(reads)
 log(f"fence-alone roundtrip p50: {t_read*1e3:.1f}ms")
 
+rows = {}
 for batch in (64, 1024):
     # warm-up round trip compiles all four (reset, hop0) program variants
     # for this padding bucket
@@ -104,9 +112,31 @@ for batch in (64, 1024):
         sc.delete_edges(p)
         force(sc)
         dels.append(time.time() - t0 - t_read)
+    rows[str(batch)] = {
+        "cold_roundtrip_ms": round(warm * 1e3),
+        "insert_p50_ms_net": round(float(np.median(ins)) * 1e3, 1),
+        "delete_p50_ms_net": round(float(np.median(dels)) * 1e3, 1)}
     log(f"batch {batch:5d}: cold round-trip {warm*1e3:7.0f}ms | warm "
         f"completion-forced net p50: insert {np.median(ins)*1e3:6.1f}ms  "
         f"delete {np.median(dels)*1e3:6.1f}ms  (min {min(ins)*1e3:.1f}/"
         f"{min(dels)*1e3:.1f}ms over 5 reps)")
 
+if len(sys.argv) > 1:
+    rnd = int(sys.argv[1])
+    path = os.path.join(REPO, f"SERVING_r{rnd:02d}.json")
+    try:
+        with open(path) as f:
+            artifact = json.load(f)
+    except FileNotFoundError:
+        artifact = {}
+    artifact["streaming_steady"] = {
+        "setup": f"BUDDY, synth-ws-{N}, warm programs, completion-forced "
+                 f"net of the measured fence roundtrip; host affected-set "
+                 f"work included",
+        "fence_roundtrip_ms": round(t_read * 1e3, 1),
+        "batches": rows,
+    }
+    with open(path, "w") as f:
+        json.dump(artifact, f, indent=2)
+    log(f"merged streaming_steady into {path}")
 log("done probe_streaming_steady")
