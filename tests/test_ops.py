@@ -339,6 +339,30 @@ def test_device_heuristics_rejects_undersized_buckets():
     DeviceHeuristics(A, buckets=(32, 128))  # covering buckets are fine
 
 
+def test_heuristics_automorphic_nodes_score_equal():
+    """Links related by a graph automorphism must score identically under
+    every heuristic (reference test_heuristics.py test_iso_graph)."""
+    import scipy.sparse as ssp
+    from subgraph_sketching_tpu.heuristics import (
+        adamic_adar, common_neighbours, personalized_pagerank,
+        resource_allocation,
+    )
+
+    # two disjoint squares joined by a bridge 3-4: the map v -> 7-v is an
+    # automorphism, so (0, 2) and (7, 5) are equivalent links
+    und = np.array([[0, 1], [1, 2], [2, 3], [3, 0],
+                    [4, 5], [5, 6], [6, 7], [7, 4], [3, 4]])
+    src = np.concatenate([und[:, 0], und[:, 1]])
+    dst = np.concatenate([und[:, 1], und[:, 0]])
+    A = ssp.csr_matrix((np.ones(len(src)), (src, dst)), shape=(8, 8))
+    links = np.array([[0, 2], [7, 5]], dtype=np.int64)
+    for fn in (common_neighbours, adamic_adar, resource_allocation):
+        s = np.asarray(fn(A, links)).ravel()
+        assert s[0] == s[1], (fn.__name__, s)
+    s, _ = personalized_pagerank(A, links)
+    np.testing.assert_allclose(s[0], s[1], rtol=1e-8)
+
+
 def test_ppr_scores_in_input_order():
     """Regression: PPR scores were returned src-sorted while callers kept
     input order (breaking citation2 per-positive negative alignment)."""

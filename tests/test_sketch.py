@@ -116,6 +116,31 @@ def test_hll_count_accuracy():
         assert rel < 0.1, f"card {true_card}: est {est.mean():.1f} rel {rel:.3f}"
 
 
+def test_hll_raw_estimate_unbiased_above_threshold():
+    """Above e > 5m the raw estimate passes through with NO bias
+    subtraction (reference _refine_hll_count_estimate,
+    test_hashing.py test_refine_hll_count_estimate) — here the estimator
+    is branchless, so assert hll_count == alpha*m^2/sum(2^-reg) exactly
+    for register sets whose raw estimate clears the threshold."""
+    from subgraph_sketching_tpu.sketch.hll import hll_alpha
+
+    rng = np.random.default_rng(3)
+    p, m = 8, 256
+    # ~50k distinct items: far above 5m = 1280, and no zero registers
+    regs = np.zeros((4, m), dtype=np.int8)
+    for t in range(4):
+        h = rng.integers(0, 2 ** 64, size=50_000, dtype=np.uint64)
+        idx = (h & np.uint64(m - 1)).astype(np.int64)
+        bl = np.ceil(np.log2((h >> np.uint64(p)).astype(np.float64) + 1))
+        rank = (64 - p - bl + 1).astype(np.int8)
+        np.maximum.at(regs[t], idx, rank)
+    assert (regs > 0).all()  # raw-estimate regime (no linear counting)
+    raw = hll_alpha(m) * m * m / (2.0 ** -regs.astype(np.float64)).sum(1)
+    assert (raw > 5 * m).all()
+    est = np.asarray(hll_count(jnp.asarray(regs), p))
+    np.testing.assert_allclose(est, raw, rtol=1e-5)
+
+
 def test_jaccard_exact_overlap():
     a = jnp.arange(128, dtype=jnp.uint32)[None, :]
     b = a.at[:, :64].set(999999)
