@@ -263,7 +263,7 @@ def test_barrier_passes_and_detects(tmp_path):
 
 
 _DRILL_WORKER = r"""
-import os, sys
+import json, os, sys
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                            + " --xla_force_host_platform_device_count=2")
@@ -274,6 +274,7 @@ pid = int(sys.argv[1])
 epochs = int(sys.argv[2])
 resume = sys.argv[3] == "resume"
 crash_after = sys.argv[4] == "crash"
+overrides = json.loads(sys.argv[5]) if len(sys.argv) > 5 else {{}}
 jax.distributed.initialize({coord!r}, num_processes=2, process_id=pid)
 assert jax.process_count() == 2 and len(jax.devices()) == 4
 
@@ -281,14 +282,16 @@ from subgraph_sketching_tpu.config import Config
 from subgraph_sketching_tpu.parallel.fault import PeerFailure
 from subgraph_sketching_tpu.runners.run import run
 
-cfg = Config(dataset_name="synth-ba", model="BUDDY", hidden_channels=16,
-             batch_size=256, eval_batch_size=1024, K=20, epochs=epochs,
-             mesh_shape=[4], mesh_axes=["data"],
-             checkpoint_dir={ckpt!r}, checkpoint_every=1, resume=resume,
-             # the fs heartbeat must fire BEFORE jax's own coordination
-             # service declares the peer dead (~10s) and force-kills the
-             # survivor with an uncatchable abseil FATAL
-             heartbeat_dir={hbdir!r}, heartbeat_timeout=2.0)
+base = dict(dataset_name="synth-ba", model="BUDDY", hidden_channels=16,
+            batch_size=256, eval_batch_size=1024, K=20, epochs=epochs,
+            mesh_shape=[4], mesh_axes=["data"],
+            checkpoint_dir={ckpt!r}, checkpoint_every=1, resume=resume,
+            # the fs heartbeat must fire BEFORE jax's own coordination
+            # service declares the peer dead (~10s) and force-kills the
+            # survivor with an uncatchable abseil FATAL
+            heartbeat_dir={hbdir!r}, heartbeat_timeout=2.0)
+base.update(overrides)
+cfg = Config(**base)
 try:
     run(cfg)
 except PeerFailure as e:
@@ -302,14 +305,18 @@ if crash_after:
 """
 
 
-def _launch_drill(tmp_path, name, coord, ckpt, hbdir, args0, args1):
+def _launch_drill(tmp_path, name, coord, ckpt, hbdir, args0, args1,
+                  overrides=None):
+    import json as _json
+
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     path = tmp_path / f"{name}.py"
     path.write_text(_DRILL_WORKER.format(repo=repo, coord=coord, ckpt=ckpt,
                                          hbdir=hbdir))
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
-    return [subprocess.Popen([sys.executable, str(path)] + a,
+    extra = [_json.dumps(overrides)] if overrides else []
+    return [subprocess.Popen([sys.executable, str(path)] + a + extra,
                              stdout=subprocess.PIPE,
                              stderr=subprocess.STDOUT, env=env, text=True)
             for a in (args0, args1)]
@@ -385,3 +392,51 @@ def test_fault_drill_kill_resume_bitexact(tmp_path):
         return lines[-1].rsplit(", epoch time", 1)[0]
 
     assert final_epoch_line(outs_a[0]) == final_epoch_line(outs[0])
+
+
+@pytest.mark.skipif(os.environ.get("SKIP_MULTIPROCESS") == "1",
+                    reason="multi-process test disabled")
+def test_fault_drill_memory_sharded_elph(tmp_path):
+    """Kill/resume bit-exactness on the CITATION2-SCALE configuration:
+    ELPH --memory_sharded on a data x graph mesh across two processes.
+    The node-sharded sketch state is rebuilt deterministically at startup
+    (it is staged data, not checkpoint state), so resume must reproduce
+    an uninterrupted run's final device state bit-for-bit here too."""
+    import numpy as np
+
+    E = 3
+    ov = {"model": "ELPH", "mesh_shape": [1, 4],
+          "mesh_axes": ["data", "graph"], "memory_sharded": True,
+          "dataset_name": "synth-ws"}
+    ck_a, hb_a = str(tmp_path / "ck_a"), str(tmp_path / "hb_a")
+    procs = _launch_drill(tmp_path, "ms_a", "127.0.0.1:45751", ck_a, hb_a,
+                          ["0", str(E), "fresh", "no"],
+                          ["1", str(E), "fresh", "no"], overrides=ov)
+    outs_a = [p.communicate(timeout=900)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs_a)):
+        assert p.returncode == 0, f"phase A proc {i}:\n{out[-3000:]}"
+
+    # rank 1 crashes after epoch 1; rank 0 raises PeerFailure; both resume
+    ck_b, hb_b = str(tmp_path / "ck_b"), str(tmp_path / "hb_b")
+    procs = _launch_drill(tmp_path, "ms_b", "127.0.0.1:45753", ck_b, hb_b,
+                          ["0", str(E), "fresh", "no"],
+                          ["1", "1", "fresh", "crash"], overrides=ov)
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    assert procs[0].returncode == 3, f"survivor:\n{outs[0][-3000:]}"
+    assert "PEERFAILURE dead=[1]" in outs[0]
+
+    procs = _launch_drill(tmp_path, "ms_c", "127.0.0.1:45755", ck_b, hb_b,
+                          ["0", str(E), "resume", "no"],
+                          ["1", str(E), "resume", "no"], overrides=ov)
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"phase C proc {i}:\n{out[-3000:]}"
+    assert "resumed from checkpoint step 1" in outs[0]
+
+    import jax
+    a = _final_state(ck_a, E)
+    b = _final_state(ck_b, E)
+    leaves_a, leaves_b = jax.tree.leaves(a), jax.tree.leaves(b)
+    assert len(leaves_a) == len(leaves_b) and len(leaves_a) > 0
+    for la, lb in zip(leaves_a, leaves_b):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
