@@ -34,3 +34,15 @@ def ba_graph():
 @pytest.fixture(autouse=True)
 def _seed():
     np.random.seed(0)
+
+
+def free_local_port() -> int:
+    """An OS-assigned free TCP port for per-test jax.distributed
+    coordinators.  Fixed ports collide when two suites (or a suite and a
+    manual run) execute concurrently — the coordinator then fails with an
+    opaque fatal error mid-test."""
+    import socket
+
+    with socket.socket(socket.AF_INET, socket.SOCK_STREAM) as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]

@@ -14,6 +14,7 @@ import time
 
 import pytest
 
+from conftest import free_local_port
 from subgraph_sketching_tpu.parallel.fault import (
     HeartbeatDetector,
     PeerFailure,
@@ -343,7 +344,7 @@ def test_fault_drill_kill_resume_bitexact(tmp_path):
     E = 4
     # phase A: uninterrupted 2-process run
     ck_a, hb_a = str(tmp_path / "ck_a"), str(tmp_path / "hb_a")
-    procs = _launch_drill(tmp_path, "phase_a", "127.0.0.1:45741", ck_a, hb_a,
+    procs = _launch_drill(tmp_path, "phase_a", f"127.0.0.1:{free_local_port()}", ck_a, hb_a,
                           ["0", str(E), "fresh", "no"],
                           ["1", str(E), "fresh", "no"])
     outs_a = [p.communicate(timeout=600)[0] for p in procs]
@@ -354,7 +355,7 @@ def test_fault_drill_kill_resume_bitexact(tmp_path):
     # 2 epochs long, then os._exit(1) with no cleanup); rank 0 wants E
     # epochs and must raise PeerFailure at the epoch-3 barrier
     ck_b, hb_b = str(tmp_path / "ck_b"), str(tmp_path / "hb_b")
-    procs = _launch_drill(tmp_path, "phase_b", "127.0.0.1:45743", ck_b, hb_b,
+    procs = _launch_drill(tmp_path, "phase_b", f"127.0.0.1:{free_local_port()}", ck_b, hb_b,
                           ["0", str(E), "fresh", "no"],
                           ["1", "2", "fresh", "crash"])
     outs = [p.communicate(timeout=600)[0] for p in procs]
@@ -363,7 +364,7 @@ def test_fault_drill_kill_resume_bitexact(tmp_path):
     assert procs[1].returncode == 1  # the hard crash
 
     # phase C: restart BOTH processes with --resume from ck_b
-    procs = _launch_drill(tmp_path, "phase_c", "127.0.0.1:45745", ck_b, hb_b,
+    procs = _launch_drill(tmp_path, "phase_c", f"127.0.0.1:{free_local_port()}", ck_b, hb_b,
                           ["0", str(E), "resume", "no"],
                           ["1", str(E), "resume", "no"])
     outs = [p.communicate(timeout=600)[0] for p in procs]
@@ -409,7 +410,7 @@ def test_fault_drill_memory_sharded_elph(tmp_path):
           "mesh_axes": ["data", "graph"], "memory_sharded": True,
           "dataset_name": "synth-ws"}
     ck_a, hb_a = str(tmp_path / "ck_a"), str(tmp_path / "hb_a")
-    procs = _launch_drill(tmp_path, "ms_a", "127.0.0.1:45751", ck_a, hb_a,
+    procs = _launch_drill(tmp_path, "ms_a", f"127.0.0.1:{free_local_port()}", ck_a, hb_a,
                           ["0", str(E), "fresh", "no"],
                           ["1", str(E), "fresh", "no"], overrides=ov)
     outs_a = [p.communicate(timeout=900)[0] for p in procs]
@@ -418,14 +419,14 @@ def test_fault_drill_memory_sharded_elph(tmp_path):
 
     # rank 1 crashes after epoch 1; rank 0 raises PeerFailure; both resume
     ck_b, hb_b = str(tmp_path / "ck_b"), str(tmp_path / "hb_b")
-    procs = _launch_drill(tmp_path, "ms_b", "127.0.0.1:45753", ck_b, hb_b,
+    procs = _launch_drill(tmp_path, "ms_b", f"127.0.0.1:{free_local_port()}", ck_b, hb_b,
                           ["0", str(E), "fresh", "no"],
                           ["1", "1", "fresh", "crash"], overrides=ov)
     outs = [p.communicate(timeout=900)[0] for p in procs]
     assert procs[0].returncode == 3, f"survivor:\n{outs[0][-3000:]}"
     assert "PEERFAILURE dead=[1]" in outs[0]
 
-    procs = _launch_drill(tmp_path, "ms_c", "127.0.0.1:45755", ck_b, hb_b,
+    procs = _launch_drill(tmp_path, "ms_c", f"127.0.0.1:{free_local_port()}", ck_b, hb_b,
                           ["0", str(E), "resume", "no"],
                           ["1", str(E), "resume", "no"], overrides=ov)
     outs = [p.communicate(timeout=900)[0] for p in procs]

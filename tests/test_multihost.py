@@ -14,6 +14,8 @@ import sys
 import numpy as np
 import pytest
 
+from conftest import free_local_port
+
 _WORKER = r"""
 import os, sys
 os.environ["JAX_PLATFORMS"] = "cpu"
@@ -142,7 +144,7 @@ def _run_two_procs(tmp_path, template, port):
 @pytest.mark.skipif(os.environ.get("SKIP_MULTIPROCESS") == "1",
                     reason="multi-process test disabled")
 def test_two_process_edge_sharded_build(tmp_path):
-    _run_two_procs(tmp_path, _WORKER, 45617)
+    _run_two_procs(tmp_path, _WORKER, free_local_port())
 
 
 @pytest.mark.skipif(os.environ.get("SKIP_MULTIPROCESS") == "1",
@@ -151,4 +153,4 @@ def test_two_process_node_sharded_build(tmp_path):
     """The memory-sharded path (locality partition, halo all_to_all,
     psum-assembled features) executed across TWO real processes — the
     halo exchange and row assembly ride the cross-process fabric."""
-    _run_two_procs(tmp_path, _NODE_WORKER, 45631)
+    _run_two_procs(tmp_path, _NODE_WORKER, free_local_port())
