@@ -153,6 +153,9 @@ def lane_sharded_subgraph_features_batched(
 
     links = np.asarray(links)
     n = links.shape[0]
+    if n == 0:
+        # mirror subgraph_features_batched: an empty split stages cleanly
+        return jnp.zeros((0, params.sf_dim), jnp.float32)
     bucket = 1 << max(8, (max(1, min(n, batch_size)) - 1).bit_length())
     bucket = min(bucket, batch_size)
     out = []

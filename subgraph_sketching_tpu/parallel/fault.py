@@ -112,7 +112,7 @@ class HeartbeatDetector:
             raise PeerFailure(sorted(missing), startup_timeout)
 
     def agree_min(self, tag: str, value: int, poll: float = 0.05,
-                  timeout: float = 120.0) -> int:
+                  timeout: Optional[float] = None) -> int:
         """All-process agreement on ``min(value)`` — out-of-band, bounded.
 
         Used to agree the resume step before the epoch loop: each process
@@ -124,8 +124,14 @@ class HeartbeatDetector:
         checkpoint (or none, if any process sees none), so the barrier tag
         sequences are identical by construction.
 
-        Exchange rides the heartbeat directory (hang-proof: heartbeat
-        checking + a hard ``timeout``), not the collective fabric.
+        Exchange rides the heartbeat directory, not the collective
+        fabric.  Hang-proofness comes from ``check()`` each poll: a peer
+        that DIES raises a prompt ``PeerFailure``; a peer that is merely
+        slow (minutes-scale preprocessing skew between hosts is normal at
+        citation2 scale) keeps heartbeating and is waited for — the same
+        contract as ``barrier()``.  ``timeout`` (default None = no
+        deadline) is an optional hard cap for tests and callers that
+        prefer bounded waits over trusting heartbeats.
 
         Stale-file safety: a restart that reuses the directory sees the
         previous incarnation's ``val_`` files, and (unlike the barrier,
@@ -156,7 +162,7 @@ class HeartbeatDetector:
         # this process's start to slip through — a restart cannot be that
         # fast (process spawn + jax init alone take seconds).
         fresh_floor = my_mtime - poll - 1.0
-        deadline = time.time() + timeout
+        deadline = time.time() + timeout if timeout is not None else None
         values = {self.pid: int(value)}
         missing = set(range(self.n)) - {self.pid}
         while missing:
@@ -172,7 +178,7 @@ class HeartbeatDetector:
             if not missing:
                 break
             self.check()
-            if time.time() > deadline:
+            if deadline is not None and time.time() > deadline:
                 raise PeerFailure(sorted(missing), timeout)
             time.sleep(poll)
             write_own()  # keep own file fresh for late-starting peers

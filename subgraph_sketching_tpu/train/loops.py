@@ -632,15 +632,16 @@ class ElphTrainer:
             if sketches is None:
                 # sketches depend only on the message graph; eval splits
                 # normally share the train graph — reuse its tables (same
-                # dedupe as build_all_splits / the memory-sharded path)
-                self._sk_graphs = getattr(self, "_sk_graphs", {})
-                self._sk_graphs.pop(split, None)  # re-staging: no self-match
-                reuse = next(
-                    (s for s, (e, n, _) in self._sk_graphs.items()
-                     if n == ds.num_nodes and e.shape == ds.edge_index.shape
-                     and np.array_equal(e, ds.edge_index)), None)
-                if reuse is not None:
-                    sketches = self._sk_graphs[reuse][2]
+                # dedupe as build_all_splits / the memory-sharded path).
+                # SINGLE slot, keyed by graph equality: holding one table
+                # set bounds retention (stacks are GBs at citation2 scale)
+                # while covering the staging order train -> valid -> test
+                cached = getattr(self, "_sk_graph", None)
+                if (cached is not None
+                        and cached[1] == ds.num_nodes
+                        and cached[0].shape == ds.edge_index.shape
+                        and np.array_equal(cached[0], ds.edge_index)):
+                    sketches = cached[2]
                 elif self._has_graph:
                     from subgraph_sketching_tpu.parallel.dist_sketch import (
                         edge_sharded_build_hash_tables,
@@ -660,8 +661,7 @@ class ElphTrainer:
                     sketches = build_hash_tables(
                         jnp.asarray(ei), ds.num_nodes, self.sketch_params,
                         plan=plan, hops_only=self.cfg.hops_only_sketches)
-                self._sk_graphs[split] = (ds.edge_index, ds.num_nodes,
-                                          sketches)
+                self._sk_graph = (ds.edge_index, ds.num_nodes, sketches)
             if self._has_lane:
                 from subgraph_sketching_tpu.parallel.dist_sketch import (
                     lane_sharded_subgraph_features_batched,

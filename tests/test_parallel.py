@@ -85,6 +85,10 @@ def test_lane_sharded_batched_matches_one_shot(setup):
     chunked = np.asarray(lane_sharded_subgraph_features_batched(
         many, sk_ref, params, mesh, batch_size=256))
     np.testing.assert_allclose(chunked, one_shot, rtol=1e-6, atol=1e-4)
+    # empty split stages cleanly (mirrors subgraph_features_batched)
+    empty = lane_sharded_subgraph_features_batched(
+        np.zeros((0, 2), np.int32), sk_ref, params, mesh)
+    assert empty.shape == (0, params.sf_dim)
 
 
 @pytest.mark.parametrize("method", ["contiguous", "locality"])
