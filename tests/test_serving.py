@@ -483,6 +483,74 @@ def test_delete_edges_exact_vs_rebuild():
     np.testing.assert_allclose(np.asarray(scorer_rt.deg), golden_deg)
 
 
+def test_streaming_random_interleaved_sequence_vs_rebuild():
+    """Property test for the flagship streaming claim: after an ARBITRARY
+    interleaved sequence of insert/delete batches, the resident state is
+    bit-equal to a from-scratch build on whatever graph the sequence
+    produced.  Exercises the paths single-op tests miss: deletes of edges
+    added earlier in the sequence (living in _extra_edges), re-inserts of
+    previously deleted edges, and the periodic extras fold-in interacting
+    with both."""
+    from subgraph_sketching_tpu.graph import Graph
+    from subgraph_sketching_tpu.graph.splits import SplitData
+    from subgraph_sketching_tpu.graph.synthetic import watts_strogatz_graph
+
+    n = 200
+    ei0 = watts_strogatz_graph(n, 6, 0.1, seed=4)
+    cfg = Config(dataset_name="synth-ws", hidden_channels=16, batch_size=256,
+                 eval_batch_size=1024, model="BUDDY", K=20, use_feature=False)
+    rng = np.random.default_rng(7)
+    links = np.stack([rng.integers(0, n, 200),
+                      rng.integers(0, n, 200)], 1).astype(np.int32)
+
+    def make_scorer(ei):
+        order = np.lexsort((ei[1], ei[0]))
+        g = Graph(np.ascontiguousarray(ei[:, order]), n)
+        sd = SplitData(graph=g, pos_edges=links[:100], neg_edges=links[100:])
+        ds = build_link_dataset(sd, cfg, "train")
+        tr = BuddyTrainer(cfg, ds, None)
+        state = tr.init_state(jax.random.PRNGKey(0))
+        return LinkScorer(tr, ds, state, min_bucket=64)
+
+    scorer = make_scorer(ei0)
+    # track the current undirected pair set as ground truth
+    current = set(map(tuple, np.sort(
+        ei0.T[ei0[0] < ei0[1]], axis=1).tolist()))
+    for step in range(8):
+        if step % 2 == 0 or len(current) < 50:
+            # insert a few fresh pairs (sometimes ones deleted earlier)
+            pairs = []
+            while len(pairs) < 5:
+                u, v = sorted(rng.integers(0, n, 2).tolist())
+                if u != v and (u, v) not in current:
+                    pairs.append((u, v))
+                    current.add((u, v))
+            scorer.insert_edges(np.array(pairs))
+        else:
+            pairs = [list(current)[i] for i in
+                     rng.choice(len(current), 5, replace=False)]
+            for p in pairs:
+                current.discard(p)
+            scorer.delete_edges(np.array(pairs))
+    # from-scratch build on the sequence's final graph
+    und = np.array(sorted(current)).T
+    ei_final = np.concatenate([und, und[::-1]], axis=1)
+    fresh = make_scorer(ei_final)
+    np.testing.assert_array_equal(np.asarray(scorer.sk.minhash),
+                                  np.asarray(fresh.sk.minhash))
+    np.testing.assert_array_equal(np.asarray(scorer.sk.hll),
+                                  np.asarray(fresh.sk.hll))
+    np.testing.assert_allclose(np.asarray(scorer.sk.cards),
+                               np.asarray(fresh.sk.cards),
+                               rtol=1e-6, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(scorer.deg),
+                               np.asarray(fresh.deg), rtol=1e-5)
+    q = np.stack([rng.integers(0, n, 128),
+                  rng.integers(0, n, 128)], 1).astype(np.int32)
+    np.testing.assert_allclose(scorer.score(q), fresh.score(q),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_delete_edges_weighted_with_RA():
     """Weighted deletion with --use_RA: degrees, the RA CSR, and the
     sketches must all equal a from-scratch scorer on the reduced WEIGHTED
