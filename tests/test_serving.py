@@ -483,14 +483,15 @@ def test_delete_edges_exact_vs_rebuild():
     np.testing.assert_allclose(np.asarray(scorer_rt.deg), golden_deg)
 
 
-def test_streaming_random_interleaved_sequence_vs_rebuild():
+@pytest.mark.parametrize("hops_only", [False, True])
+def test_streaming_random_interleaved_sequence_vs_rebuild(hops_only):
     """Property test for the flagship streaming claim: after an ARBITRARY
     interleaved sequence of insert/delete batches, the resident state is
     bit-equal to a from-scratch build on whatever graph the sequence
     produced.  Exercises the paths single-op tests miss: deletes of edges
     added earlier in the sequence (living in _extra_edges), re-inserts of
     previously deleted edges, and the periodic extras fold-in interacting
-    with both."""
+    with both.  Runs on full and hops-only stack layouts."""
     from subgraph_sketching_tpu.graph import Graph
     from subgraph_sketching_tpu.graph.splits import SplitData
     from subgraph_sketching_tpu.graph.synthetic import watts_strogatz_graph
@@ -498,7 +499,8 @@ def test_streaming_random_interleaved_sequence_vs_rebuild():
     n = 200
     ei0 = watts_strogatz_graph(n, 6, 0.1, seed=4)
     cfg = Config(dataset_name="synth-ws", hidden_channels=16, batch_size=256,
-                 eval_batch_size=1024, model="BUDDY", K=20, use_feature=False)
+                 eval_batch_size=1024, model="BUDDY", K=20, use_feature=False,
+                 hops_only_sketches=hops_only)
     rng = np.random.default_rng(7)
     links = np.stack([rng.integers(0, n, 200),
                       rng.integers(0, n, 200)], 1).astype(np.int32)
