@@ -483,8 +483,10 @@ def test_delete_edges_exact_vs_rebuild():
     np.testing.assert_allclose(np.asarray(scorer_rt.deg), golden_deg)
 
 
-@pytest.mark.parametrize("hops_only", [False, True])
-def test_streaming_random_interleaved_sequence_vs_rebuild(hops_only):
+@pytest.mark.parametrize("hops_only,max_hops", [
+    (False, 2), (True, 2), (False, 3), (True, 3)])
+def test_streaming_random_interleaved_sequence_vs_rebuild(hops_only,
+                                                          max_hops):
     """Property test for the flagship streaming claim: after an ARBITRARY
     interleaved sequence of insert/delete batches, the resident state is
     bit-equal to a from-scratch build on whatever graph the sequence
@@ -500,7 +502,7 @@ def test_streaming_random_interleaved_sequence_vs_rebuild(hops_only):
     ei0 = watts_strogatz_graph(n, 6, 0.1, seed=4)
     cfg = Config(dataset_name="synth-ws", hidden_channels=16, batch_size=256,
                  eval_batch_size=1024, model="BUDDY", K=20, use_feature=False,
-                 hops_only_sketches=hops_only)
+                 hops_only_sketches=hops_only, max_hash_hops=max_hops)
     rng = np.random.default_rng(7)
     links = np.stack([rng.integers(0, n, 200),
                       rng.integers(0, n, 200)], 1).astype(np.int32)
