@@ -484,6 +484,7 @@ def test_delete_edges_exact_vs_rebuild():
 
 
 @pytest.mark.parametrize("hops_only,max_hops", [
+    (False, 1), (True, 1),
     (False, 2), (True, 2), (False, 3), (True, 3)])
 def test_streaming_random_interleaved_sequence_vs_rebuild(hops_only,
                                                           max_hops):
@@ -502,7 +503,10 @@ def test_streaming_random_interleaved_sequence_vs_rebuild(hops_only,
     ei0 = watts_strogatz_graph(n, 6, 0.1, seed=4)
     cfg = Config(dataset_name="synth-ws", hidden_channels=16, batch_size=256,
                  eval_batch_size=1024, model="BUDDY", K=20, use_feature=False,
-                 hops_only_sketches=hops_only, max_hash_hops=max_hops)
+                 hops_only_sketches=hops_only, max_hash_hops=max_hops,
+                 # 1 hop requires the zero-one features (reference
+                 # run.py:262-266 post-parse validation)
+                 use_zero_one=(max_hops == 1))
     rng = np.random.default_rng(7)
     links = np.stack([rng.integers(0, n, 200),
                       rng.integers(0, n, 200)], 1).astype(np.int32)
