@@ -40,7 +40,10 @@ own roofline figure, plus a decomposition of the hop into measured parts:
 
 All device timings use the established net-of-roundtrip method: force a
 host read of a scalar derived from the outputs, subtract the measured
-roundtrip of a trivial program.  Under the remote-TPU relay,
+roundtrip of a trivial program — re-measured ADJACENT to each timed
+group with interleaved samples, because the relay's dispatch latency
+drifts by several ms over a full run and a single start-of-run trivial
+mis-attributes that drift to later groups.  Under the remote-TPU relay,
 ``block_until_ready`` absorbs a ~30ms dispatch/sync roundtrip per sample
 (and for some programs returns early), so device-side timing alone is
 untrustworthy; the host-read-net methodology is robust to both failure
@@ -84,14 +87,14 @@ def bench_tpu(src, dst, mh, hll):
     plan = make_plan(np.stack([src, dst]), NUM_NODES)
     mhj, hllj = jnp.asarray(mh), jnp.asarray(hll)
     gidx = plan.gather_idx
-    sdst = plan.sub_dst
     S, L = plan.num_subruns, plan.sub_len
     m = hll.shape[1]
     IDENT = jnp.uint32(0xFFFFFFFF)
 
     @jax.jit
-    def trivial(mh):
-        return mh[0, 0].astype(jnp.float32)
+    def trivial(a):
+        # works on any array rank: the roundtrip-measuring program
+        return a.reshape(-1)[0].astype(jnp.float32)
 
     @jax.jit
     def one_hop_scalar(mh, hll):
@@ -126,32 +129,44 @@ def bench_tpu(src, dst, mh, hll):
 
     @jax.jit
     def segment_part(vm, vh, mh, hll):
-        # part 2 of the hop: the sorted segment reduces over the [S, W]
-        # sub-run results + the self fold-in, on precomputed inputs
-        am = jax.ops.segment_min(vm, sdst, num_segments=NUM_NODES,
-                                 indices_are_sorted=True)
-        ah = jax.ops.segment_max(vh, sdst, num_segments=NUM_NODES,
-                                 indices_are_sorted=True)
-        am = jnp.minimum(mh, am)
-        ah = jnp.maximum(hll, ah)
+        # part 2 of the hop: the PRODUCTION merge step (on TPU: the Pallas
+        # segmented scan + boundary gather, ops/pallas_segscan.py; the XLA
+        # sorted scatter elsewhere) over precomputed sub-run results + the
+        # self fold-in — the same path plan.reduce runs inside the hop
+        am = plan.merge_subruns(vm, mh, "min")
+        ah = plan.merge_subruns(vh, hll, "max")
         return am.sum(dtype=jnp.uint32).astype(jnp.float32) + \
             ah.sum(dtype=jnp.int32).astype(jnp.float32)
 
     def timed(fn, *args):
+        """(net_min, spread): min-of-ITERS with the trivial-program
+        roundtrip re-measured ADJACENT to this group (interleaved samples)
+        — the relay's dispatch latency drifts by several ms over the
+        minutes a full bench run takes, so netting every group against one
+        start-of-run trivial mis-attributes that drift to whichever part
+        happened to run latest (observed: the ~1ms pallas merge reading as
+        6.4ms)."""
         for _ in range(WARMUP):
             float(fn(*args))
-        ts = []
+        float(trivial(args[0]))
+        ts, t0s = [], []
         for _ in range(ITERS):
+            t0 = time.perf_counter()
+            float(trivial(args[0]))
+            t0s.append(time.perf_counter() - t0)
             t0 = time.perf_counter()
             float(fn(*args))
             ts.append(time.perf_counter() - t0)
-        return min(ts), (max(ts) - min(ts)) / min(ts)
+        trivials.append(min(t0s))
+        return max(min(ts) - min(t0s), 1e-9), (max(ts) - min(ts)) / min(ts)
 
     rng = np.random.default_rng(1)
-    t_trivial, _ = timed(trivial, mhj)
+    trivials = []
+    timed(one_hop_scalar, mhj, hllj)  # warm everything incl. trivial
+    t_trivial = trivials[0]           # reported: the relay roundtrip scale
 
     def net(t):
-        return max(t - t_trivial, 1e-9)
+        return t  # timed() already nets against the adjacent trivial
 
     t_hop, spread = timed(one_hop_scalar, mhj, hllj)
     t_gather, _ = timed(gathers_only, mhj, hllj)

@@ -247,9 +247,7 @@ class SortedSegmentPlan:
         """
         if self.num_subruns == 0:
             return x if op != "add" else jnp.zeros_like(x)
-        gidx, sdst = tables if tables is not None else (self.gather_idx,
-                                                        self.sub_dst)
-        combine = {"min": jnp.minimum, "max": jnp.maximum, "add": jnp.add}[op]
+        gidx = tables[0] if tables is not None else self.gather_idx
         ident = _identity_for(op, np.dtype(x.dtype))
         rows = jnp.concatenate(
             [x, jnp.full((1,) + x.shape[1:], ident, dtype=x.dtype)], axis=0)
@@ -263,6 +261,28 @@ class SortedSegmentPlan:
         # which materialises every level)
         red = {"min": jnp.min, "max": jnp.max, "add": jnp.sum}[op]
         v = red(v, axis=1)                              # [S, W]
+        return self.merge_subruns(v, x, op, tables=tables)
+
+    def merge_subruns(self, v: jnp.ndarray, x: jnp.ndarray, op: str,
+                      tables: Optional[tuple] = None) -> jnp.ndarray:
+        """The merge step of :meth:`reduce`: segment-op the [S, W] sub-run
+        results over ``sub_dst`` and (for min/max) fold in the node's own
+        row.  Exposed so decomposition benchmarks time the SAME path the
+        production hop runs.
+
+        On TPU the min/max merge runs a Pallas forward segmented scan +
+        boundary gather instead of XLA's sorted scatter — 5.5x faster at
+        the bench shape (0.8ms vs 4.4ms; 1.12x the whole hop,
+        tools/probe_pallas_segscan.py), bit-exact.  CPU (and any
+        unsupported dtype/op, or SST_DISABLE_PALLAS_SEGSCAN=1) keeps the
+        XLA path."""
+        combine = {"min": jnp.minimum, "max": jnp.maximum, "add": jnp.add}[op]
+        if op != "add" and self._pallas_merge_ok(op, v.dtype):
+            from subgraph_sketching_tpu.ops import pallas_segscan as pss
+            rid2d, last_idx, empty = self._pallas_tables()
+            return pss.sorted_segment_combine(
+                v, x, op, rid2d, last_idx, empty, self._seg_depth)
+        sdst = tables[1] if tables is not None else self.sub_dst
         seg = {"min": jax.ops.segment_min, "max": jax.ops.segment_max,
                "add": jax.ops.segment_sum}[op]
         # sub_dst is non-decreasing by construction (the slot table is
@@ -276,6 +296,49 @@ class SortedSegmentPlan:
         # empty segments hold the dtype identity extremum; combining with the
         # node's own row (closed neighbourhood) absorbs them
         return combine(x, agg)
+
+    def _pallas_merge_ok(self, op: str, dtype) -> bool:
+        import os
+        if os.environ.get("SST_DISABLE_PALLAS_SEGSCAN"):
+            return False
+        if self.num_subruns == 0 or jax.default_backend() != "tpu":
+            return False
+        from subgraph_sketching_tpu.ops import pallas_segscan as pss
+        return pss.supported(op, dtype)
+
+    @property
+    def _seg_depth(self) -> int:
+        """Static scan depth for the Pallas merge: covers the longest run
+        (max sub-runs per destination), capped at log2(block) — runs longer
+        than one block chain through the cross-block carry."""
+        if getattr(self, "_seg_depth_cache", None) is None:
+            from subgraph_sketching_tpu.ops.pallas_segscan import PC
+            if self._prefix is not None:                 # native plan build
+                max_run = int(np.diff(self._prefix[1]).max())
+            else:
+                sd = self._sub_dst_np
+                max_run = int(np.bincount(
+                    sd, minlength=self.num_segments).max()) if len(sd) else 1
+            depth = max(1, int(np.ceil(np.log2(max(1, max_run)))))
+            self._seg_depth_cache = min(depth, int(np.log2(PC)))
+        return self._seg_depth_cache
+
+    def _pallas_tables(self) -> tuple:
+        """(rid2d [S,1] i32, last_idx [N] i32, empty [N] bool) device
+        arrays for the Pallas merge — lazy like the other plan tables."""
+        if getattr(self, "_pallas_tables_dev", None) is None:
+            sd = self._sub_dst_np
+            n = self.num_segments
+            last = np.searchsorted(sd, np.arange(n), "right") - 1
+            first = np.searchsorted(sd, np.arange(n), "left")
+            empty = first > last
+            dev = (jnp.asarray(sd[:, None].astype(np.int32)),
+                   jnp.asarray(np.where(empty, 0, last).astype(np.int32)),
+                   jnp.asarray(empty))
+            if any(isinstance(a, jax.core.Tracer) for a in dev):
+                return dev  # inside a jit trace: never cache tracers
+            self._pallas_tables_dev = dev
+        return self._pallas_tables_dev
 
 
     def chunk(self, max_slots: int) -> "ChunkedSegmentPlan":

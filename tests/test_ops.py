@@ -377,3 +377,65 @@ def test_ppr_scores_in_input_order():
     for i, (u, v) in enumerate(links):
         s1, _ = personalized_pagerank(A, np.array([[u, v]], np.int32))
         np.testing.assert_allclose(s[i], s1[0], rtol=1e-6)
+
+
+def test_pallas_segment_merge_matches_xla_paths():
+    """The TPU Pallas merge (forward segmented scan + boundary gather,
+    ops/pallas_segscan.py) must be bit-equal to the XLA sorted-scatter
+    merge on the plan's real sub-run results — run here in interpret mode
+    on the CPU mesh; bit-exactness on the real chip is asserted by
+    tools/probe_pallas_segscan.py.  Covers: runs straddling kernel-block
+    boundaries (S > PC via a low-node/high-degree shape), empty segments,
+    uint32 min (sign-bias trick) and int8 max (in-VMEM widening)."""
+    from subgraph_sketching_tpu.ops import pallas_segscan as pss
+
+    rng = np.random.default_rng(3)
+    for n, deg, sub_len in [(300, 4, 8), (150, 200, 4)]:
+        e = n * deg
+        ei = np.stack([rng.integers(0, n, e),
+                       rng.integers(0, n, e)]).astype(np.int32)
+        # leave some nodes with no in-edges (empty segments)
+        ei[1] = np.where(ei[1] < 10, 10, ei[1]).astype(np.int32)
+        plan = make_plan(ei, n, sub_len=sub_len)
+        rid2d, last_idx, empty = plan._pallas_tables()
+        assert bool(np.asarray(empty)[:10].all())
+        mh = rng.integers(0, 2 ** 32 - 1, (n, 128), dtype=np.uint32)
+        hl = rng.integers(0, 56, (n, 256)).astype(np.int8)
+        for x, op, ident in ((mh, "min", np.uint32(0xFFFFFFFF)),
+                             (hl, "max", np.int8(0))):
+            rows = np.concatenate([x, np.full((1,) + x.shape[1:], ident,
+                                              x.dtype)])
+            v = rows[plan._gather_idx_np].reshape(
+                plan.num_subruns, plan.sub_len, x.shape[1])
+            v = v.min(axis=1) if op == "min" else v.max(axis=1)
+            got = pss.sorted_segment_combine(
+                jnp.asarray(v), jnp.asarray(x), op, rid2d, last_idx, empty,
+                plan._seg_depth, interpret=True)
+            want = plan.reduce(jnp.asarray(x), op)  # CPU: XLA scatter path
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_pallas_segscan_long_runs_cap_depth():
+    """A destination with more sub-runs than the kernel block (run longer
+    than PC slots) must chain correctly through the cross-block carry at
+    the capped depth."""
+    from subgraph_sketching_tpu.ops import pallas_segscan as pss
+
+    rng = np.random.default_rng(4)
+    n = 4
+    e = 40_000                       # node 0 gets ~10k in-edges
+    ei = np.stack([rng.integers(0, n, e),
+                   np.zeros(e, dtype=np.int64)]).astype(np.int32)
+    ei[1, : e // 2] = rng.integers(0, n, e // 2)
+    plan = make_plan(ei, n, sub_len=2)   # thousands of sub-runs per node
+    assert plan.num_subruns > pss.PC
+    rid2d, last_idx, empty = plan._pallas_tables()
+    x = rng.integers(0, 2 ** 32 - 1, (n, 128), dtype=np.uint32)
+    rows = np.concatenate([x, np.full((1, 128), 0xFFFFFFFF, np.uint32)])
+    v = rows[plan._gather_idx_np].reshape(
+        plan.num_subruns, plan.sub_len, 128).min(axis=1)
+    got = pss.sorted_segment_combine(
+        jnp.asarray(v), jnp.asarray(x), "min", rid2d, last_idx, empty,
+        plan._seg_depth, interpret=True)
+    want = plan.reduce(jnp.asarray(x), "min")
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
