@@ -129,9 +129,10 @@ def ici_scaling_model(num_nodes: int = 200_000, avg_deg: int = 16,
                       device_counts: List[int] = None,
                       # bench.py round-4 headline (BENCH_r04): the fused
                       # minhash+HLL hop on one v5e chip with the
-                      # sorted-scatter hint.  Keep this in sync with the
-                      # shipped BENCH artifact so the two agree.
-                      per_chip_edges_per_s: float = 91.5e6,
+                      # sorted-scatter hint + Pallas segmented-scan merge.
+                      # Keep this in sync with the shipped BENCH artifact
+                      # so the two agree.
+                      per_chip_edges_per_s: float = 102e6,
                       ici_bytes_per_s: float = 4.5e10,
                       params: SketchParams = None,
                       weak: bool = False, graph: str = "random",
