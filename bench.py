@@ -30,13 +30,19 @@ own roofline figure, plus a decomposition of the hop into measured parts:
     it exceeds the whole hop — XLA tiles the slot reduction worse when its
     consumer is a full checksum reduction instead of the sorted scatter —
     so it is NOT used in the sum.)
-  * ``features`` — subgraph-feature extraction links/s at a 2^18-link batch
-    on real K=2 sketch stacks, with its own gathers-alone bound ratio.
-  * ``spmm`` — plan-SpMM d=128 edges/s and ``hbm_fraction``: the kernel's
-    modelled minimal HBM traffic divided by (measured on-device stream
-    bandwidth x net time) — the fraction of speed-of-light it achieves
-    against the SAME chip's measured memcpy rate (``stream_bw_gbps``), so
-    the figure needs no spec-sheet constants.
+  * ``chunked`` — the SAME hop through the chunk-streamed plan
+    (ChunkedSegmentPlan with max_slots = 1/4 of the one-shot slot table):
+    the production memory path at citation2 scale.  Tracked per round so
+    the scale path cannot regress silently (round-4 verdict item 1:
+    it ran 71M e/s vs the 108M headline with no artifact watching it).
+  * ``spmm`` — plan-SpMM d=128 edges/s, its own decomposition (gather
+    alone; the production merge alone — Pallas segmented scan on TPU —
+    with ``parts_over_spmm`` = (gather + merge) / spmm), and
+    ``hbm_fraction``: the kernel's modelled minimal HBM traffic divided
+    by (measured on-device stream bandwidth x net time) — the fraction of
+    speed-of-light it achieves against the SAME chip's measured memcpy
+    rate (``stream_bw_gbps``), so the figure needs no spec-sheet
+    constants.
 
 All device timings use the established net-of-roundtrip method: force a
 host read of a scalar derived from the outputs, subtract the measured
@@ -75,7 +81,12 @@ def make_graph(rng):
 
 def bench_tpu(src, dst, mh, hll):
     """All on-device measurements; returns a dict (see module docstring)."""
+    import os
+
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
     import jax.numpy as jnp
 
     from subgraph_sketching_tpu.ops.segment_scan import make_plan
@@ -175,6 +186,21 @@ def bench_tpu(src, dst, mh, hll):
                                    dtype=np.uint32))
     vh0 = jnp.asarray(rng.integers(0, 56, (S, m)).astype(np.int8))
     t_seg, _ = timed(segment_part, vm0, vh0, mhj, hllj)
+
+    # the chunk-streamed plan — the production memory path whenever the
+    # slot table exceeds max_gather_slots (citation2 scale).  Same hop,
+    # slot table split 4 ways, per-chunk Pallas merge on TPU.
+    chunked_plan = plan.chunk(S * L // 4)
+
+    @jax.jit
+    def chunked_hop_scalar(mh, hll):
+        a = chunked_plan.reduce(mh, "min")
+        b = chunked_plan.reduce(hll, "max")
+        return a.sum(dtype=jnp.uint32).astype(jnp.float32) + \
+            b.sum(dtype=jnp.int32).astype(jnp.float32)
+
+    t_chunked, chunked_spread = timed(chunked_hop_scalar, mhj, hllj)
+
     hop = {
         "eps": E / net(t_hop),
         "hop_vs_gather_bound": net(t_gather) / net(t_hop),
@@ -187,6 +213,12 @@ def bench_tpu(src, dst, mh, hll):
             "t_segment_ms": round(net(t_seg) * 1e3, 2),
             "parts_over_hop": round(
                 (net(t_gather) + net(t_seg)) / net(t_hop), 3),
+        },
+        "chunked": {
+            "edges_per_s": round(E / net(t_chunked)),
+            "num_chunks": chunked_plan.num_chunks,
+            "vs_oneshot": round(net(t_chunked) / net(t_hop), 3),
+            "iter_spread": round(chunked_spread, 3),
         },
     }
 
@@ -247,7 +279,25 @@ def bench_tpu(src, dst, mh, hll):
     def spmm_plan(x, wslots):
         return plan.reduce(x, "add", edge_data_slots=wslots).sum()
 
+    @jax.jit
+    def spmm_gather(x, wslots):
+        # the SpMM's own roofline program: the one weighted row gather it
+        # must perform (slot rows * staged weights), nothing else
+        rows = jnp.concatenate([x, jnp.zeros((1, SPMM_D), x.dtype)], axis=0)
+        v = rows[gidx] * wslots[:, None]
+        return v.sum()
+
+    @jax.jit
+    def spmm_merge(v0, x):
+        # the production merge alone (Pallas segmented scan on TPU, XLA
+        # sorted scatter elsewhere) on precomputed sub-run results — the
+        # same path plan.reduce runs inside the SpMM
+        return plan.merge_subruns(v0, x, "add").sum()
+
     t_spmm, spmm_spread = timed(spmm_plan, x, wslots)
+    t_sg, _ = timed(spmm_gather, x, wslots)
+    v0 = jnp.asarray(rng.standard_normal((S, SPMM_D)).astype(np.float32))
+    t_sm, _ = timed(spmm_merge, v0, x)
 
     # measured on-chip stream bandwidth: 16 read+write passes over a 256MB
     # array inside ONE program (a lax.scan carry materialises each pass —
@@ -270,19 +320,28 @@ def bench_tpu(src, dst, mh, hll):
     stream_bytes = 2 * big.size * 4 * STREAM_PASSES  # read + write per pass
     stream_bw = stream_bytes / net(t_stream)
 
-    # minimal HBM traffic model for the plan SpMM: every slot reads its
-    # gathered row (S*L * d*4), its index (4B) and weight (4B); the sub-run
-    # results ([S, d] f32) are written+read around the segment reduce; the
-    # output ([N, d] f32) is written once
+    # minimal HBM traffic model for the plan SpMM (Pallas-merge form):
+    # every slot reads its gathered row (d*4), its index (4B) and weight
+    # (4B); the sub-run results [S, d] f32 are written by the slot reduce,
+    # then read and re-written (totals) by the segmented scan; the output
+    # gathers N total rows and writes N rows
     slots = S * L
-    est_bytes = (slots * (SPMM_D * 4 + 4 + 4) + 2 * S * SPMM_D * 4
-                 + NUM_NODES * SPMM_D * 4)
+    est_bytes = (slots * (SPMM_D * 4 + 4 + 4) + 3 * S * SPMM_D * 4
+                 + 2 * NUM_NODES * SPMM_D * 4)
     spmm = {
         "edges_per_s": round(E / net(t_spmm)),
         "d": SPMM_D,
         "hbm_fraction": round((est_bytes / net(t_spmm)) / stream_bw, 3),
         "est_gbytes": round(est_bytes / 1e9, 3),
+        "vs_gather_bound": round(net(t_sg) / net(t_spmm), 3),
         "iter_spread": round(spmm_spread, 3),
+        "decomposition": {
+            "t_spmm_ms": round(net(t_spmm) * 1e3, 2),
+            "t_gather_ms": round(net(t_sg) * 1e3, 2),
+            "t_merge_ms": round(net(t_sm) * 1e3, 2),
+            "parts_over_spmm": round(
+                (net(t_sg) + net(t_sm)) / net(t_spmm), 3),
+        },
     }
 
     hop["features"] = features

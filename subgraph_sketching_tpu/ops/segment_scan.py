@@ -103,6 +103,40 @@ def _native_plan_tables(src: np.ndarray, dst: np.ndarray, num_nodes: int,
     return order, gather_idx, sub_dst, run_starts, sub_starts
 
 
+def _pallas_path_ok(op: str, v) -> bool:
+    """Shared merge-path gate: the Pallas segmented scan runs on TPU for
+    the supported (op, dtype) pairs, or anywhere in interpret mode when
+    SST_FORCE_PALLAS_INTERPRET is set (tests exercise the exact production
+    trace on the CPU mesh that way)."""
+    import os
+    if os.environ.get("SST_DISABLE_PALLAS_SEGSCAN"):
+        return False
+    if _platform_of(v) != "tpu" and \
+            not os.environ.get("SST_FORCE_PALLAS_INTERPRET"):
+        return False
+    from subgraph_sketching_tpu.ops import pallas_segscan as pss
+    return pss.supported(op, v.dtype)
+
+
+def _pallas_interpret() -> bool:
+    import os
+    return bool(os.environ.get("SST_FORCE_PALLAS_INTERPRET"))
+
+
+def _platform_of(v) -> str:
+    """Platform the computation will run on: a concrete array's committed
+    device wins (arrays device_put to CPU on a TPU host must not select the
+    Mosaic kernel); tracers fall back to the process default backend."""
+    if not isinstance(v, jax.core.Tracer):
+        try:
+            devs = list(v.devices())
+            if devs:
+                return devs[0].platform
+        except Exception:
+            pass
+    return jax.default_backend()
+
+
 def _identity_for(op: str, dtype) -> np.generic:
     if op == "min":
         return np.iinfo(dtype).max if np.issubdtype(dtype, np.integer) \
@@ -241,9 +275,12 @@ class SortedSegmentPlan:
         add: out[v] = sum over in-edges of w_e * x[src_e] (SpMM; self NOT
         included — put self-loops in the edge list).
         ``edge_data_slots`` comes from ``stage_edge_data``.
-        ``tables`` optionally supplies (gather_idx, sub_dst) as traced jit
-        ARGUMENTS — at scale the implicit device tables become executable
-        constants that overflow the remote compiler (HTTP 413).
+        ``tables`` optionally supplies (gather_idx, sub_dst, last_idx,
+        empty) — i.e. ``self.reduce_tables`` — as traced jit ARGUMENTS: at
+        scale the implicit device tables become executable constants that
+        overflow the remote compiler (HTTP 413).  A legacy 2-tuple
+        (gather_idx, sub_dst) is accepted; it keeps the XLA merge (the
+        Pallas merge needs the boundary tables).
         """
         if self.num_subruns == 0:
             return x if op != "add" else jnp.zeros_like(x)
@@ -270,18 +307,27 @@ class SortedSegmentPlan:
         row.  Exposed so decomposition benchmarks time the SAME path the
         production hop runs.
 
-        On TPU the min/max merge runs a Pallas forward segmented scan +
-        boundary gather instead of XLA's sorted scatter — 5.5x faster at
-        the bench shape (0.8ms vs 4.4ms; 1.12x the whole hop,
-        tools/probe_pallas_segscan.py), bit-exact.  CPU (and any
-        unsupported dtype/op, or SST_DISABLE_PALLAS_SEGSCAN=1) keeps the
-        XLA path."""
+        On TPU the merge runs a Pallas forward segmented scan + boundary
+        gather instead of XLA's sorted scatter — 5.5x faster at the bench
+        shape (0.8ms vs 4.4ms; 1.12x the whole hop,
+        tools/probe_pallas_segscan.py), bit-exact for min/max (idempotent
+        ops are order-free; "add" matches to float associativity — the
+        ladder sums each run as a balanced tree, the scatter sequentially).
+        CPU (and any unsupported dtype/op, or
+        SST_DISABLE_PALLAS_SEGSCAN=1) keeps the XLA path, as does a legacy
+        2-tuple ``tables`` (no boundary tables to ride through jit)."""
         combine = {"min": jnp.minimum, "max": jnp.maximum, "add": jnp.add}[op]
-        if op != "add" and self._pallas_merge_ok(op, v.dtype):
+        if self._pallas_merge_ok(op, v) and \
+                (tables is None or len(tables) >= 4):
             from subgraph_sketching_tpu.ops import pallas_segscan as pss
-            rid2d, last_idx, empty = self._pallas_tables()
+            if tables is not None:
+                sdst, last_idx, empty = tables[1], tables[2], tables[3]
+                rid2d = sdst[:, None].astype(jnp.int32)
+            else:
+                rid2d, last_idx, empty = self._pallas_tables()
             return pss.sorted_segment_combine(
-                v, x, op, rid2d, last_idx, empty, self._seg_depth)
+                v, x, op, rid2d, last_idx, empty, self._seg_depth,
+                interpret=_pallas_interpret())
         sdst = tables[1] if tables is not None else self.sub_dst
         seg = {"min": jax.ops.segment_min, "max": jax.ops.segment_max,
                "add": jax.ops.segment_sum}[op]
@@ -297,14 +343,10 @@ class SortedSegmentPlan:
         # node's own row (closed neighbourhood) absorbs them
         return combine(x, agg)
 
-    def _pallas_merge_ok(self, op: str, dtype) -> bool:
-        import os
-        if os.environ.get("SST_DISABLE_PALLAS_SEGSCAN"):
+    def _pallas_merge_ok(self, op: str, v) -> bool:
+        if self.num_subruns == 0:
             return False
-        if self.num_subruns == 0 or jax.default_backend() != "tpu":
-            return False
-        from subgraph_sketching_tpu.ops import pallas_segscan as pss
-        return pss.supported(op, dtype)
+        return _pallas_path_ok(op, v)
 
     @property
     def _seg_depth(self) -> int:
@@ -340,6 +382,15 @@ class SortedSegmentPlan:
             self._pallas_tables_dev = dev
         return self._pallas_tables_dev
 
+
+    @property
+    def reduce_tables(self) -> tuple:
+        """(gather_idx, sub_dst, last_idx, empty) device arrays — pass this
+        tuple to :meth:`reduce` as the ``tables`` argument at scale so the
+        tables ride through jit as ARGUMENTS (not executable constants) on
+        every merge path, Pallas included."""
+        _, last_idx, empty = self._pallas_tables()
+        return (self.gather_idx, self.sub_dst, last_idx, empty)
 
     def chunk(self, max_slots: int) -> "ChunkedSegmentPlan":
         """Split the slot table into bounded-size chunks (see
@@ -458,8 +509,15 @@ class ChunkedSegmentPlan:
             self._padded = 0
             self._slot_edge_chunks_np = np.zeros((0, 0), dtype=np.int64)
             return
-        per_chunk = max(1, max_slots // L)          # sub-runs per chunk
-        C = (S + per_chunk - 1) // per_chunk
+        cap = max(1, max_slots // L)                # max sub-runs per chunk
+        C = (S + cap - 1) // cap
+        # distribute sub-runs EVENLY over the minimal chunk count instead
+        # of filling chunks to the cap: cap-filling left the tail chunk
+        # mostly padding (identity-row gathers) — at the bench shape 5
+        # chunks of 1.15M slots for 4.58M real slots, a 1.25x slot
+        # inflation that measured as exactly the chunked path's overhead
+        # over the one-shot hop (tools/probe_r5_kernels.py, round 5)
+        per_chunk = (S + C - 1) // C
         self.num_chunks = C
         gi = base._gather_idx_np.reshape(S, L)      # host copy, no download
         sd = base._sub_dst_np
@@ -495,6 +553,8 @@ class ChunkedSegmentPlan:
         self._dev: Optional[tuple] = None
         self._padded = padded
         self._slot_edge_chunks_np: Optional[np.ndarray] = None
+        self._pallas_chunk_dev: Optional[tuple] = None
+        self._chunk_depth_cache: Optional[int] = None
 
     @property
     def _slot_edge_chunks(self) -> np.ndarray:
@@ -535,10 +595,61 @@ class ChunkedSegmentPlan:
                              np.zeros(1, dtype=np.asarray(edge_data).dtype)])
         return jnp.asarray(wz[self._slot_edge_chunks])
 
+    def _pallas_chunk_tables(self) -> tuple:
+        """(last_idx [C, R] i32, empty [C, R] bool) per-chunk boundary
+        tables for the Pallas merge (position of each window segment's last
+        sub-run within its chunk) — lazy like the other device tables."""
+        if self._pallas_chunk_dev is None:
+            C, R = self.num_chunks, self.window
+            sl = self._sub_local_np
+            last = np.empty((C, R), dtype=np.int32)
+            empty = np.empty((C, R), dtype=bool)
+            ids = np.arange(R)
+            for c in range(C):
+                hi = np.searchsorted(sl[c], ids, "right") - 1
+                lo_ = np.searchsorted(sl[c], ids, "left")
+                empty[c] = lo_ > hi
+                last[c] = np.where(empty[c], 0, hi)
+            dev = (jnp.asarray(last), jnp.asarray(empty))
+            if any(isinstance(a, jax.core.Tracer) for a in dev):
+                return dev  # inside a jit trace: never cache tracers
+            self._pallas_chunk_dev = dev
+        return self._pallas_chunk_dev
+
+    @property
+    def _chunk_depth(self) -> int:
+        """Static scan depth for the per-chunk Pallas merge: covers the
+        longest same-destination run within any single chunk, capped at
+        log2(kernel block)."""
+        if self._chunk_depth_cache is None:
+            from subgraph_sketching_tpu.ops.pallas_segscan import PC
+            max_run = 1
+            for c in range(self.num_chunks):
+                row = self._sub_local_np[c]
+                real = row[row != self.window]  # drop pad-id runs: a
+                # mostly-padded tail chunk must not inflate the depth
+                if len(real):
+                    counts = np.bincount(real)
+                    max_run = max(max_run, int(counts.max()))
+            depth = max(1, int(np.ceil(np.log2(max(1, max_run)))))
+            self._chunk_depth_cache = min(depth, int(np.log2(PC)))
+        return self._chunk_depth_cache
+
+    def _pallas_merge_ok(self, op: str, x) -> bool:
+        if self.num_chunks == 0:
+            return False
+        return _pallas_path_ok(op, x)
+
     def reduce(self, x: jnp.ndarray, op: str,
                edge_data_slots: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         """Same contract as SortedSegmentPlan.reduce (closed neighbourhood
-        for min/max; weighted sum over in-edges for add)."""
+        for min/max; weighted sum over in-edges for add).
+
+        On TPU each chunk's merge runs the same Pallas segmented scan as
+        the one-shot plan (ops/pallas_segscan.py) over the chunk's local
+        window ids — the decision is made at trace time, outside the
+        ``lax.scan``, and the per-chunk boundary tables ride the scan as
+        inputs."""
         if self.num_chunks == 0:
             return x if op != "add" else jnp.zeros_like(x)
         combine = {"min": jnp.minimum, "max": jnp.maximum, "add": jnp.add}[op]
@@ -547,6 +658,7 @@ class ChunkedSegmentPlan:
         ident = _identity_for(op, np.dtype(x.dtype))
         n = self.num_segments
         R = self.window
+        use_pallas = self._pallas_merge_ok(op, x)
         rows = jnp.concatenate(
             [x, jnp.full((1,) + x.shape[1:], ident, dtype=x.dtype)], axis=0)
         # output padded so every [lo, lo+R) window is in range
@@ -555,29 +667,44 @@ class ChunkedSegmentPlan:
             out0 = out0.at[:n].set(jnp.zeros_like(x))
 
         def body(out, chunk):
-            gidx, slocal, lo, w = chunk
+            gidx, slocal, lo, w, boundary = chunk
             v = rows[gidx]                                  # [pc*L, W]
             if w is not None:
                 v = v * w.reshape((-1,) + (1,) * (v.ndim - 1)).astype(v.dtype)
             v = v.reshape((self.per_chunk, self.sub_len) + x.shape[1:])
             red = {"min": jnp.min, "max": jnp.max, "add": jnp.sum}[op]
+            vred = red(v, axis=1)                           # [pc, W]
             # sub_local is non-decreasing per chunk (dst-sorted slots; pad
-            # tails get the max segment R), same sorted-scatter win as the
+            # tails get the max segment R), same sorted-merge win as the
             # one-shot plan
-            part = seg(red(v, axis=1), slocal, num_segments=R + 1,
-                       indices_are_sorted=True)[:R]
+            if boundary is not None:
+                from subgraph_sketching_tpu.ops import pallas_segscan as pss
+                last_c, empty_c = boundary
+                part = pss.segment_aggregates(
+                    vred, op, slocal[:, None].astype(jnp.int32),
+                    last_c, empty_c, self._chunk_depth,
+                    interpret=_pallas_interpret())
+            else:
+                part = seg(vred, slocal, num_segments=R + 1,
+                           indices_are_sorted=True)[:R]
             cur = jax.lax.dynamic_slice_in_dim(out, lo, R, axis=0)
             return jax.lax.dynamic_update_slice_in_dim(
                 out, combine(cur, part), lo, axis=0), None
 
         w_chunks = edge_data_slots if edge_data_slots is not None else None
-        chunks = (self.gather_chunks, self.sub_local, self.lo, w_chunks)
-        if w_chunks is None:
-            chunks = (self.gather_chunks, self.sub_local, self.lo)
-            out, _ = jax.lax.scan(
-                lambda o, c: body(o, (*c, None)), out0, chunks)
-        else:
-            out, _ = jax.lax.scan(body, out0, chunks)
+        chunks = [self.gather_chunks, self.sub_local, self.lo]
+        shape = [True, True, True, w_chunks is not None, use_pallas]
+        if w_chunks is not None:
+            chunks.append(w_chunks)
+        if use_pallas:
+            chunks.append(self._pallas_chunk_tables())
+
+        def body_adapter(out, c):
+            it = iter(c)
+            parts = [next(it) if present else None for present in shape]
+            return body(out, tuple(parts))
+
+        out, _ = jax.lax.scan(body_adapter, out0, tuple(chunks))
         out = out[:n]
         if op == "add":
             return out
@@ -651,10 +778,12 @@ class PlanSpmm:
 
     @property
     def tables(self) -> tuple:
-        """(gidx_f, sdst_f, w_f, gidx_b, sdst_b, w_b) device arrays — ride
-        these through jit as arguments at scale."""
-        return (self.fwd.gather_idx, self.fwd.sub_dst, self._w_fwd,
-                self.bwd.gather_idx, self.bwd.sub_dst, self._w_bwd)
+        """(gidx_f, sdst_f, last_f, empty_f, w_f, gidx_b, sdst_b, last_b,
+        empty_b, w_b) device arrays — ride these through jit as arguments
+        at scale.  The boundary tables (last/empty) keep the Pallas
+        segmented-scan merge available inside the jitted step."""
+        return self.fwd.reduce_tables + (self._w_fwd,) \
+            + self.bwd.reduce_tables + (self._w_bwd,)
 
     def __call__(self, x: jnp.ndarray,
                  tables: Optional[tuple] = None) -> jnp.ndarray:
@@ -664,8 +793,8 @@ class PlanSpmm:
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _plan_spmm(ps: PlanSpmm, x, tables):
-    gf, sf, wf = tables[0], tables[1], tables[2]
-    return ps.fwd.reduce(x, "add", edge_data_slots=wf, tables=(gf, sf))
+    return ps.fwd.reduce(x, "add", edge_data_slots=tables[4],
+                         tables=tables[0:4])
 
 
 def _plan_spmm_fwd(ps, x, tables):
@@ -673,9 +802,9 @@ def _plan_spmm_fwd(ps, x, tables):
 
 
 def _plan_spmm_bwd(ps, tables, g):
-    gb, sb, wb = tables[3], tables[4], tables[5]
-    dx = ps.bwd.reduce(g, "add", edge_data_slots=wb, tables=(gb, sb))
-    return dx, (None,) * 6
+    dx = ps.bwd.reduce(g, "add", edge_data_slots=tables[9],
+                       tables=tables[5:9])
+    return dx, (None,) * 10
 
 
 _plan_spmm.defvjp(_plan_spmm_fwd, _plan_spmm_bwd)

@@ -15,6 +15,7 @@ pattern for XLA.  Padded rows score (0, 0) links and are sliced off.
 
 from __future__ import annotations
 
+import time
 from typing import Optional
 
 import numpy as np
@@ -209,17 +210,57 @@ class LinkScorer:
         hl[:len(ids)] = hll_init_rows(ids, self.sketch_params.hll_p)
         return jnp.asarray(mh), jnp.asarray(hl)
 
+    def _edge_key(self, s, d):
+        return np.asarray(s, np.int64) * np.int64(self.num_nodes) \
+            + np.asarray(d, np.int64)
+
+    def _ensure_adj(self) -> None:
+        """Lazily build the serving adjacency: the original message graph
+        (src, dst)-key-sorted (src-contiguous AND binary-searchable by
+        directed key), plus the mutation state — appended extra edges and
+        the delete tombstone set (sorted directed keys of CSR rows deleted
+        but not yet compacted; deletes at scale must not pay an O(E)
+        rebuild per batch — round-4 verdict item 5)."""
+        if hasattr(self, "_out_sorted"):
+            return
+        ei = np.asarray(self._edge_index, dtype=np.int64)
+        order = np.argsort(self._edge_key(ei[0], ei[1]), kind="stable")
+        self._out_sorted = ei[:, order]
+        self._out_starts = np.searchsorted(
+            self._out_sorted[0], np.arange(self.num_nodes + 1))
+        self._out_keys = self._edge_key(self._out_sorted[0],
+                                        self._out_sorted[1])
+        self._extra_edges = np.zeros((2, 0), np.int64)
+        self._del_keys = np.zeros(0, np.int64)
+        self._symmetric: Optional[bool] = None  # unknown until first needed
+
+    def _keys_in_del(self, keys: np.ndarray) -> np.ndarray:
+        """Boolean mask: which directed keys are tombstoned (binary search
+        over the small sorted tombstone set — O(len(keys) log |del|))."""
+        if not len(self._del_keys):
+            return np.zeros(len(keys), bool)
+        idx = np.searchsorted(self._del_keys, keys)
+        idx = np.minimum(idx, len(self._del_keys) - 1)
+        return self._del_keys[idx] == keys
+
+    def _compact(self) -> None:
+        """Fold tombstones (and optionally extras — callers do that
+        separately) into the CSR: one O(E) pass, amortised over many
+        delete batches."""
+        if not len(self._del_keys):
+            return
+        keep = ~self._keys_in_del(self._out_keys)
+        self._out_sorted = self._out_sorted[:, keep]
+        self._out_keys = self._out_keys[keep]
+        self._out_starts = np.searchsorted(
+            self._out_sorted[0], np.arange(self.num_nodes + 1))
+        self._del_keys = np.zeros(0, np.int64)
+        self._drop_in_csr()
+
     def _out_pairs(self, srcs: np.ndarray) -> np.ndarray:
         """All current (src, dst) edges whose src is in ``srcs`` — original
-        message graph + every edge inserted since (src-sorted CSR built
-        lazily on first insert)."""
-        if not hasattr(self, "_out_sorted"):
-            ei = np.asarray(self._edge_index, dtype=np.int64)
-            order = np.argsort(ei[0], kind="stable")
-            self._out_sorted = ei[:, order]
-            self._out_starts = np.searchsorted(
-                self._out_sorted[0], np.arange(self.num_nodes + 1))
-            self._extra_edges = np.zeros((2, 0), np.int64)
+        message graph (minus tombstoned rows) + every edge inserted since."""
+        self._ensure_adj()
         lo = self._out_starts[srcs]
         hi = self._out_starts[srcs + 1]
         counts = hi - lo
@@ -228,6 +269,8 @@ class LinkScorer:
                + np.arange(total)
                - np.repeat(np.cumsum(counts) - counts, counts))
         pairs = self._out_sorted[:, idx].T
+        if len(self._del_keys):
+            pairs = pairs[~self._keys_in_del(self._out_keys[idx])]
         if self._extra_edges.shape[1]:
             m = np.isin(self._extra_edges[0], srcs)
             pairs = np.concatenate([pairs, self._extra_edges[:, m].T])
@@ -285,11 +328,14 @@ class LinkScorer:
         if self.sk is None:
             return
         from subgraph_sketching_tpu.sketch.params import Sketches
-        self._out_pairs(np.zeros(0, np.int64))  # ensure CSR exists
+        self._ensure_adj()
+        if not undirected:
+            self._symmetric = False  # a one-direction insert breaks it
         full = self._stack_is_full()
         mh, hll, cards = self.sk.minhash, self.sk.hll, self.sk.cards
         pairs = edges
         changed = None
+        t_host0, t_disp = time.perf_counter(), 0.0
         for k in range(1, K + 1):
             if changed is not None:
                 pairs = np.concatenate([
@@ -303,6 +349,7 @@ class LinkScorer:
             kst = k if full else k - 1          # stack index of hop k
             d_idx = _pad_pow2(self._pos(pairs[:, 1]))
             rows = _pad_pow2(self._pos(changed))
+            td = time.perf_counter()
             if full or k >= 2:
                 mh, hll, cards = self._update_jit(reset=False, hop0=False)(
                     mh, hll, cards,
@@ -315,19 +362,32 @@ class LinkScorer:
                 mh, hll, cards = self._update_jit(reset=False, hop0=True)(
                     mh, hll, cards, (s_mh, s_hll),
                     jnp.asarray(d_idx), jnp.asarray(rows), kst, k - 1)
+            t_disp += time.perf_counter() - td
         self.sk = Sketches(minhash=mh, hll=hll, cards=cards)
+        # host-walk vs device-dispatch split for the scale probes (device
+        # EXECUTION is async — measure it with a completion fence outside)
+        self.last_update_stats = {
+            "op": "insert", "host_ms": round(
+                (time.perf_counter() - t_host0 - t_disp) * 1e3, 2),
+            "dispatch_ms": round(t_disp * 1e3, 2)}
         self._extra_edges = np.concatenate([self._extra_edges, edges.T],
                                            axis=1)
         # fold accumulated extras into the sorted adjacency once they get
-        # big: keeps _out_pairs' isin scan bounded on long-running servers
+        # big: keeps _out_pairs' isin scan bounded on long-running servers.
+        # Tombstones are compacted FIRST: they only refer to CSR rows, and
+        # folding extras under live tombstones would wrongly filter
+        # re-inserted copies of a deleted key
         if self._extra_edges.shape[1] > max(
                 100_000, self._out_sorted.shape[1] // 4):
+            self._compact()
             ei = np.concatenate([self._out_sorted, self._extra_edges],
                                 axis=1)
-            order = np.argsort(ei[0], kind="stable")
+            order = np.argsort(self._edge_key(ei[0], ei[1]), kind="stable")
             self._out_sorted = ei[:, order]
             self._out_starts = np.searchsorted(
                 self._out_sorted[0], np.arange(self.num_nodes + 1))
+            self._out_keys = self._edge_key(self._out_sorted[0],
+                                            self._out_sorted[1])
             self._extra_edges = np.zeros((2, 0), np.int64)
             self._drop_in_csr()  # _in_sorted no longer mirrors _out_sorted
 
@@ -336,12 +396,31 @@ class LinkScorer:
             if hasattr(self, attr):
                 delattr(self, attr)
 
+    def _is_symmetric(self) -> bool:
+        """Whether every stored directed edge has its reverse stored too.
+        Resolved ONCE by checking the initial CSR (O(E log E)); any
+        subsequent ``undirected=False`` update flips it to False at update
+        time.  Undirected updates (the production path — these message
+        graphs are undirected) preserve it, so the check never re-runs."""
+        self._ensure_adj()
+        if self._symmetric is None:
+            rev = np.sort(self._edge_key(self._out_sorted[1],
+                                         self._out_sorted[0]))
+            self._symmetric = bool(np.array_equal(rev, self._out_keys))
+        return self._symmetric
+
     def _in_pairs(self, dsts: np.ndarray) -> np.ndarray:
-        """All current (src, dst) edges whose dst is in ``dsts`` (dst-sorted
-        CSR over ``_out_sorted`` built lazily; ``_extra_edges`` scanned by
-        dst, mirroring ``_out_pairs``)."""
+        """All current (src, dst) edges whose dst is in ``dsts``.
+
+        Symmetric graphs (the production case): in(v) is just out(v) with
+        the columns swapped — no dst-sorted CSR to build, and crucially no
+        O(E log E) re-argsort after every delete batch (the round-4
+        delete-cost driver at scale).  Asymmetric graphs keep the legacy
+        dst-sorted CSR over the compacted edge set."""
+        if self._is_symmetric():
+            return self._out_pairs(dsts)[:, ::-1]
         if not hasattr(self, "_in_sorted"):
-            self._out_pairs(np.zeros(0, np.int64))  # ensure CSR exists
+            self._compact()  # tombstones would be invisible to a dst sort
             order = np.argsort(self._out_sorted[1], kind="stable")
             self._in_sorted = self._out_sorted[:, order]
             self._in_starts = np.searchsorted(
@@ -354,6 +433,9 @@ class LinkScorer:
                + np.arange(total)
                - np.repeat(np.cumsum(counts) - counts, counts))
         pairs = self._in_sorted[:, idx].T
+        if len(self._del_keys):
+            pairs = pairs[~self._keys_in_del(
+                self._edge_key(pairs[:, 0], pairs[:, 1]))]
         if self._extra_edges.shape[1]:
             m = np.isin(self._extra_edges[1], dsts)
             pairs = np.concatenate([pairs, self._extra_edges[:, m].T])
@@ -403,28 +485,41 @@ class LinkScorer:
             edges = np.concatenate([edges, edges[:, ::-1]])
             w = np.concatenate([w, w])
         # existence check BEFORE any mutation: a raise must never leave
-        # degrees/RA updated against un-updated sketches/adjacency
-        self._out_pairs(np.zeros(0, np.int64))  # ensure CSR exists
-        key = lambda s, d: s * np.int64(self.num_nodes) + d
-        delkeys = np.unique(key(edges[:, 0], edges[:, 1]))
-        out_keys = key(self._out_sorted[0], self._out_sorted[1])
-        extra_keys = key(self._extra_edges[0], self._extra_edges[1])
-        mask_out = np.isin(out_keys, delkeys)
+        # degrees/RA updated against un-updated sketches/adjacency.
+        # Presence and application are O(B log E + B log |del| + |extra|):
+        # the CSR is key-sorted (binary-searchable per directed key) and
+        # deletion tombstones instead of compacting — the round-4 path paid
+        # an O(E) isin + copy + starts rebuild (plus an O(E log E)
+        # dst-CSR re-argsort at the next delete) PER BATCH, the
+        # "~100ms-class at citation2 scale" host term of docs/SERVING.md
+        self._ensure_adj()
+        delkeys = np.unique(self._edge_key(edges[:, 0], edges[:, 1]))
+        pos = np.searchsorted(self._out_keys, delkeys)
+        posc = np.minimum(pos, max(len(self._out_keys) - 1, 0))
+        in_csr = (len(self._out_keys) > 0) \
+            & (self._out_keys[posc] == delkeys) \
+            & ~self._keys_in_del(delkeys)
+        extra_keys = self._edge_key(self._extra_edges[0],
+                                    self._extra_edges[1])
         mask_extra = np.isin(extra_keys, delkeys)
-        present = np.concatenate([out_keys[mask_out], extra_keys[mask_extra]])
-        missing = delkeys[~np.isin(delkeys, present)]
+        in_extra = np.isin(delkeys, extra_keys[mask_extra])
+        missing = delkeys[~(in_csr | in_extra)]
         if len(missing):
             s, d = missing // self.num_nodes, missing % self.num_nodes
             raise ValueError(
                 "delete_edges: not present in the graph: "
                 f"{list(zip(s[:5].tolist(), d[:5].tolist()))}"
                 f"{' …' if len(missing) > 5 else ''}")
-        # adjacency: drop the rows, rebuild the starts, invalidate _in_sorted
-        self._out_sorted = self._out_sorted[:, ~mask_out]
-        self._out_starts = np.searchsorted(
-            self._out_sorted[0], np.arange(self.num_nodes + 1))
+        # adjacency: tombstone the CSR keys, physically drop extra copies
+        if not undirected:
+            self._symmetric = False  # a one-direction delete breaks it
+        self._del_keys = np.union1d(self._del_keys, delkeys[in_csr])
         self._extra_edges = self._extra_edges[:, ~mask_extra]
-        self._drop_in_csr()
+        # amortised compaction keeps the tombstone set (and every walk's
+        # filter) bounded on long-running servers
+        if len(self._del_keys) > max(100_000,
+                                     self._out_sorted.shape[1] // 4):
+            self._compact()
         # degrees / RA CSR (same orientation as insert_edges)
         self.deg = self.deg.at[jnp.asarray(edges[:, 1])].add(
             -jnp.asarray(w))
@@ -441,6 +536,7 @@ class LinkScorer:
         mh, hll, cards = self.sk.minhash, self.sk.hll, self.sk.cards
         dst_removed = np.unique(edges[:, 1])
         rows = dst_removed
+        t_host0, t_disp = time.perf_counter(), 0.0
         for k in range(1, K + 1):
             if k > 1:
                 out = self._out_pairs(rows)
@@ -459,6 +555,7 @@ class LinkScorer:
             pos_fill = int(self._pos(np.array([fill]))[0])
             d_idx = _pad_pow2(self._pos(pairs[:, 1]), fill=pos_fill)
             rows_pos = _pad_pow2(self._pos(rows), fill=pos_fill)
+            td = time.perf_counter()
             if full or k >= 2:
                 mh, hll, cards = self._update_jit(reset=True, hop0=False)(
                     mh, hll, cards,
@@ -473,7 +570,12 @@ class LinkScorer:
                 mh, hll, cards = self._update_jit(reset=True, hop0=True)(
                     mh, hll, cards, (s_mh, s_hll),
                     jnp.asarray(d_idx), jnp.asarray(rows_pos), kst, k - 1)
+            t_disp += time.perf_counter() - td
         self.sk = Sketches(minhash=mh, hll=hll, cards=cards)
+        self.last_update_stats = {
+            "op": "delete", "host_ms": round(
+                (time.perf_counter() - t_host0 - t_disp) * 1e3, 2),
+            "dispatch_ms": round(t_disp * 1e3, 2)}
 
     def _update_jit(self, reset: bool, hop0: bool):
         """The single jitted, buffer-donating per-hop scatter-merge behind

@@ -274,7 +274,7 @@ def test_empty_edge_list_plan_fully_usable():
     np.testing.assert_array_equal(chunked.reduce(x, "min"), x)
     chunked.stage_edge_data(np.zeros(0, np.float32))
     ps = PlanSpmm(ei, np.zeros(0, np.float32), 5)
-    assert len(ps.tables) == 6
+    assert len(ps.tables) == 10
     np.testing.assert_array_equal(np.asarray(ps(jnp.ones((5, 3)))), 0.0)
 
 
@@ -413,6 +413,103 @@ def test_pallas_segment_merge_matches_xla_paths():
                 plan._seg_depth, interpret=True)
             want = plan.reduce(jnp.asarray(x), op)  # CPU: XLA scatter path
             np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_pallas_segment_merge_add_matches_xla():
+    """The float32 "add" Pallas merge (the SpMM path) must match the XLA
+    sorted-scatter merge to float associativity — the ladder sums each run
+    as a balanced tree, the scatter sequentially."""
+    from subgraph_sketching_tpu.ops import pallas_segscan as pss
+
+    rng = np.random.default_rng(5)
+    for n, deg, sub_len in [(300, 4, 8), (150, 200, 4)]:
+        e = n * deg
+        ei = np.stack([rng.integers(0, n, e),
+                       rng.integers(0, n, e)]).astype(np.int32)
+        ei[1] = np.where(ei[1] < 10, 10, ei[1]).astype(np.int32)  # empties
+        plan = make_plan(ei, n, sub_len=sub_len)
+        rid2d, last_idx, empty = plan._pallas_tables()
+        x = rng.standard_normal((n, 16)).astype(np.float32)
+        w = rng.random(e).astype(np.float32)
+        wslots = plan.stage_edge_data(w)
+        rows = np.concatenate([x, np.zeros((1, 16), np.float32)])
+        v = (rows[plan._gather_idx_np]
+             * np.asarray(wslots)[:, None]).reshape(
+                 plan.num_subruns, plan.sub_len, 16).sum(axis=1)
+        got = pss.sorted_segment_combine(
+            jnp.asarray(v), jnp.asarray(x), "add", rid2d, last_idx, empty,
+            plan._seg_depth, interpret=True)
+        want = plan.reduce(jnp.asarray(x), "add", edge_data_slots=wslots)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+        assert np.all(np.asarray(got)[:10] == 0.0)  # empty segments -> 0
+
+
+def test_chunked_plan_pallas_merge_matches_xla(monkeypatch):
+    """The chunked (citation2-scale) plan's per-chunk Pallas merge — run
+    here in interpret mode via SST_FORCE_PALLAS_INTERPRET — must equal the
+    XLA per-chunk sorted scatter on all three ops, including destinations
+    whose sub-runs straddle chunk boundaries."""
+    rng = np.random.default_rng(7)
+    n, deg, sub_len = 200, 12, 4
+    e = n * deg
+    ei = np.stack([rng.integers(0, n, e),
+                   rng.integers(0, n, e)]).astype(np.int32)
+    ei[1] = np.where(ei[1] < 5, 5, ei[1]).astype(np.int32)   # empties
+    ei[1, : e // 4] = 17                                     # a hub: its
+    # sub-runs straddle several chunks at max_slots=64
+    base = make_plan(ei, n, sub_len=sub_len)
+    chunked = base.chunk(64)
+    assert chunked.num_chunks > 3
+    mh = jnp.asarray(rng.integers(0, 2 ** 32 - 1, (n, 128), dtype=np.uint32))
+    hl = jnp.asarray(rng.integers(0, 56, (n, 128)).astype(np.int8))
+    xf = jnp.asarray(rng.standard_normal((n, 16)).astype(np.float32))
+    w = rng.random(e).astype(np.float32)
+    wslots = chunked.stage_edge_data(w)
+
+    monkeypatch.delenv("SST_FORCE_PALLAS_INTERPRET", raising=False)
+    want = [chunked.reduce(mh, "min"), chunked.reduce(hl, "max"),
+            chunked.reduce(xf, "add", edge_data_slots=wslots)]
+    monkeypatch.setenv("SST_FORCE_PALLAS_INTERPRET", "1")
+    got = [chunked.reduce(mh, "min"), chunked.reduce(hl, "max"),
+           chunked.reduce(xf, "add", edge_data_slots=wslots)]
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want[0]))
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(want[1]))
+    np.testing.assert_allclose(np.asarray(got[2]), np.asarray(want[2]),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_reduce_tables_reach_pallas_merge_through_jit(monkeypatch):
+    """reduce(tables=plan.reduce_tables) inside jit must keep the Pallas
+    merge (the boundary tables ride as jit ARGUMENTS — the at-scale
+    contract; advisor round-4 finding) and stay bit-exact."""
+    import jax
+
+    rng = np.random.default_rng(9)
+    n, deg = 250, 6
+    e = n * deg
+    ei = np.stack([rng.integers(0, n, e),
+                   rng.integers(0, n, e)]).astype(np.int32)
+    plan = make_plan(ei, n, sub_len=8)
+    mh = jnp.asarray(rng.integers(0, 2 ** 32 - 1, (n, 128), dtype=np.uint32))
+
+    want = np.asarray(plan.reduce(mh, "min"))  # XLA scatter path (CPU)
+
+    monkeypatch.setenv("SST_FORCE_PALLAS_INTERPRET", "1")
+
+    @jax.jit
+    def f(x, tables):
+        return plan.reduce(x, "min", tables=tables)
+
+    got = np.asarray(f(mh, plan.reduce_tables))
+    np.testing.assert_array_equal(got, want)
+    # legacy 2-tuple still works (falls back to the XLA merge)
+    @jax.jit
+    def g(x, tables):
+        return plan.reduce(x, "min", tables=tables)
+
+    got2 = np.asarray(g(mh, plan.reduce_tables[:2]))
+    np.testing.assert_array_equal(got2, want)
 
 
 def test_pallas_segscan_long_runs_cap_depth():

@@ -559,6 +559,86 @@ def test_streaming_random_interleaved_sequence_vs_rebuild(hops_only,
                                rtol=1e-5, atol=1e-5)
 
 
+def test_streaming_tombstones_compaction_and_directed_updates():
+    """Round-5 delete rework: deletion tombstones the key-sorted CSR
+    (O(walk) per batch) instead of compacting O(E) per batch, and
+    symmetric graphs answer in-edge queries by swapping out-edges.  Cover
+    the new states explicitly: queries under live tombstones, re-insert of
+    a tombstoned pair, forced compaction mid-sequence, and a DIRECTED
+    (undirected=False) update flipping the scorer off the symmetric fast
+    path — each checkpointed bit-exact against a from-scratch build."""
+    from subgraph_sketching_tpu.graph import Graph
+    from subgraph_sketching_tpu.graph.splits import SplitData
+    from subgraph_sketching_tpu.graph.synthetic import watts_strogatz_graph
+
+    n = 150
+    ei0 = watts_strogatz_graph(n, 6, 0.1, seed=11)
+    cfg = Config(dataset_name="synth-ws", hidden_channels=16, batch_size=256,
+                 eval_batch_size=1024, model="BUDDY", K=20, use_feature=False)
+    rng = np.random.default_rng(3)
+    links = np.stack([rng.integers(0, n, 200),
+                      rng.integers(0, n, 200)], 1).astype(np.int32)
+
+    def make_scorer(ei):
+        order = np.lexsort((ei[1], ei[0]))
+        g = Graph(np.ascontiguousarray(ei[:, order]), n)
+        sd = SplitData(graph=g, pos_edges=links[:100], neg_edges=links[100:])
+        ds = build_link_dataset(sd, cfg, "train")
+        tr = BuddyTrainer(cfg, ds, None)
+        state = tr.init_state(jax.random.PRNGKey(0))
+        return LinkScorer(tr, ds, state, min_bucket=64)
+
+    def check(scorer, current):
+        und = np.array(sorted(current)).T
+        ei_f = np.concatenate([und, und[::-1]], axis=1)
+        fresh = make_scorer(ei_f)
+        np.testing.assert_array_equal(np.asarray(scorer.sk.minhash),
+                                      np.asarray(fresh.sk.minhash))
+        np.testing.assert_array_equal(np.asarray(scorer.sk.hll),
+                                      np.asarray(fresh.sk.hll))
+
+    scorer = make_scorer(ei0)
+    current = set(map(tuple, np.sort(
+        ei0.T[ei0[0] < ei0[1]], axis=1).tolist()))
+    assert scorer._is_symmetric()
+
+    # 1. delete CSR pairs -> live tombstones; walks must filter them
+    pairs = sorted(current)[:5]
+    for p in pairs:
+        current.discard(p)
+    scorer.delete_edges(np.array(pairs))
+    assert len(scorer._del_keys) == 10  # 5 pairs x 2 directions
+    check(scorer, current)
+
+    # 2. re-insert two of the tombstoned pairs (extras under tombstones)
+    back = pairs[:2]
+    for p in back:
+        current.add(p)
+    scorer.insert_edges(np.array(back))
+    assert len(scorer._del_keys) > 0  # tombstones still live
+    check(scorer, current)
+
+    # 3. forced compaction must change nothing observable
+    scorer._compact()
+    assert len(scorer._del_keys) == 0
+    check(scorer, current)
+
+    # 4. directed delete: remove ONE direction of an existing pair —
+    # flips off the symmetric fast path; later walks stay exact
+    u, v = sorted(current)[10]
+    scorer.delete_edges(np.array([[u, v]]), undirected=False)
+    assert scorer._symmetric is False
+    scorer.insert_edges(np.array([[u, v]]), undirected=False)  # restore
+    check(scorer, current)
+
+    # 5. more undirected churn on the legacy (asymmetric-capable) path
+    pairs = sorted(current)[20:24]
+    for p in pairs:
+        current.discard(p)
+    scorer.delete_edges(np.array(pairs))
+    check(scorer, current)
+
+
 def test_delete_edges_weighted_with_RA():
     """Weighted deletion with --use_RA: degrees, the RA CSR, and the
     sketches must all equal a from-scratch scorer on the reduced WEIGHTED
