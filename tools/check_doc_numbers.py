@@ -96,11 +96,23 @@ def main():
                 r"insert p50 \*\*\d+(?:\.\d+)?ms\*\* / delete "
                 r"(\d+(?:\.\d+)?)ms at B=" + bsz,
                 b["delete_p50_ms_net"], src=serving_p)
-        big = (serving.get("buckets") or {}).get("262144")
-        if big and big.get("links_per_s_net"):
+        ss1m = serving.get("streaming_steady_1m")
+        if ss1m:
+            b = ss1m["batches"]["64"]
             add("README.md",
-                r"(\d+(?:\.\d+)?)M links/s at B=262k",
-                big["links_per_s_net"] / 1e6, src=serving_p)
+                r"1M nodes / 8M edges: insert (\d+(?:\.\d+)?)ms / delete "
+                r"\d+(?:\.\d+)?ms at B=64",
+                b["insert_p50_ms_net"], src=serving_p)
+            add("README.md",
+                r"1M nodes / 8M edges: insert \d+(?:\.\d+)?ms / delete "
+                r"(\d+(?:\.\d+)?)ms at B=64",
+                b["delete_p50_ms_net"], src=serving_p)
+        dec = serving.get("decomposition_262k")
+        if dec:
+            add("README.md",
+                r"device compute is \*\*(\d+(?:\.\d+)?)M links/s at "
+                r"B=262k\*\*",
+                dec["links_per_s_device"] / 1e6, src=serving_p)
 
     # the scaling model's calibration constant must self-load the newest
     # BENCH artifact (code check, not prose)

@@ -43,6 +43,15 @@ CONFIGS = {
     "rotate-synth-ws": dict(dataset_name="synth-ws", model="rotatE",
                             epochs=30, K=50, lr=0.01, hidden_channels=256),
     "heuristics-synth-ws": None,  # RA/CN/AA/PPR via run_heuristics (1 rep)
+    # cross-family transfer rows (round-5 verdict item 7): the same BUDDY/
+    # ELPH configs on the Barabasi-Albert family show the model tiers are
+    # not Watts-Strogatz-specific.  Opt-in via --only (kept out of the
+    # default set so the standing ws rows stay the cross-round series)
+    "buddy-synth-ba": dict(dataset_name="synth-ba", model="BUDDY", epochs=30,
+                           K=50, lr=0.01, hidden_channels=256,
+                           batch_size=1024),
+    "elph-synth-ba": dict(dataset_name="synth-ba", model="ELPH", epochs=15,
+                          K=50),
 }
 
 
@@ -81,10 +90,13 @@ def main():
     selected = dict(CONFIGS)
     if not args.only:
         # SEAL is minutes/epoch on CPU — a 10-rep default run would take
-        # hours; run explicitly via --only seal-dgcnn-synth-ws --reps 3
-        for seal in ("seal-dgcnn-synth-ba", "seal-dgcnn-synth-ws"):
-            selected.pop(seal)
-            print(f"skipping {seal} by default (opt in via --only)")
+        # hours; run explicitly via --only seal-dgcnn-synth-ws --reps 3.
+        # The synth-ba transfer rows are opt-in for the same reason: the
+        # standing cross-round series is the synth-ws set
+        for optin in ("seal-dgcnn-synth-ba", "seal-dgcnn-synth-ws",
+                      "buddy-synth-ba", "elph-synth-ba"):
+            selected.pop(optin)
+            print(f"skipping {optin} by default (opt in via --only)")
     else:
         names = [n for n in args.only.split(",") if n]
         unknown = [n for n in names if n not in CONFIGS]
