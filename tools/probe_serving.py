@@ -107,7 +107,17 @@ for B in BUCKETS:
 
 if len(sys.argv) > 1:
     rnd = int(sys.argv[1])
+    # MERGE into an existing artifact (the streaming/decomposition probes
+    # write sibling sections into the same file; overwriting here erased a
+    # round-5 run's sections — found the hard way)
+    path = os.path.join(REPO, f"SERVING_r{rnd:02d}.json")
+    try:
+        with open(path) as f:
+            prev = json.load(f)
+    except FileNotFoundError:
+        prev = {}
     artifact = {
+        **prev,
         "setup": "BUDDY, synth-ws-100000, trained 1 epoch, real TPU v5e",
         "figure_of_merit": ("p50_ms_net: per-bucket p50 serving latency net "
                             "of the measured trivial-program relay "
