@@ -297,7 +297,8 @@ def ici_scaling_model(num_nodes: int = 200_000, avg_deg: int = 16,
             "lane_shards": lane_shards,
             "lane_row_bytes": lane_row_bytes(params, lane_shards),
             "note": ("analytic: real partition halo/edge volumes x measured "
-                     "single-chip rate (bench.py BENCH_r04 headline); lane "
+                     "single-chip rate (newest committed BENCH artifact, "
+                     "bench_artifact_rate); lane "
                      "costs are TILE-PADDED (lane_row_bytes); CPU-mesh "
                      "timings cannot measure scaling (virtual devices share "
                      "host cores)"),

@@ -114,6 +114,25 @@ def main():
                 r"B=262k\*\*",
                 dec["links_per_s_device"] / 1e6, src=serving_p)
 
+    scaling, scaling_p = load_json("SCALING_r*.json")
+    if scaling:
+        m = scaling.get("ici_model", {})
+        def eff(row, dc):
+            try:
+                return m[row]["per_device_count"][dc]["efficiency"]
+            except KeyError:
+                return None
+        ws8 = eff("strong_ws_shuffled", "8")
+        rnd8 = eff("strong_random", "8")
+        if ws8 is not None:
+            add("docs/PARALLELISM.md",
+                r"ws-shuffled strong scaling is\s+(0\.\d+) @ 8",
+                round(ws8, 2), tol=0.011, src=scaling_p)
+        if rnd8 is not None:
+            add("docs/PARALLELISM.md",
+                r"random graphs reach\s+(0\.\d+) @ 8",
+                round(rnd8, 2), tol=0.011, src=scaling_p)
+
     # the scaling model's calibration constant must self-load the newest
     # BENCH artifact (code check, not prose)
     sys.path.insert(0, REPO)
