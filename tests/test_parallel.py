@@ -471,6 +471,31 @@ def test_meshed_trainer_is_bitwise_deterministic(setup):
     assert n > 0 and np.isfinite(loss)
 
 
+def test_bench_artifact_rate_self_loads():
+    """The scaling model's calibration constant must come from the newest
+    committed BENCH artifact (round-4 advisor: a hand-synced constant
+    survived an artifact refresh), with the documented fallback when no
+    artifact parses."""
+    import glob
+    import json
+    import os
+
+    from subgraph_sketching_tpu.parallel.scaling import bench_artifact_rate
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    paths = sorted(glob.glob(os.path.join(root, "BENCH_r*.json")))
+    assert paths, "committed BENCH artifacts expected at the repo root"
+    with open(paths[-1]) as f:
+        d = json.load(f)
+    parsed = d.get("parsed") or json.loads(d["tail"].strip())
+    assert bench_artifact_rate() == float(parsed["value"])
+    # the model resolves its default through the loader
+    from subgraph_sketching_tpu.parallel.scaling import ici_scaling_model
+    m = ici_scaling_model(num_nodes=2_000, avg_deg=4,
+                          device_counts=[1, 2])
+    assert m["assumptions"]["per_chip_edges_per_s"] == bench_artifact_rate()
+
+
 def test_ici_scaling_model_structure():
     """The analytic ICI scaling model (BASELINE criterion 4 on 1-chip
     hardware): efficiency is 1 at the base point, bounded by (0, 1], and
