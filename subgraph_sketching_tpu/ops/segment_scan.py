@@ -26,11 +26,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-SUB_LEN = 16  # slots per sub-run (power of two).  v5e sweep with the
-              # axis-reduce form (tools/probe_sublen.py, 3.2M edges,
-              # net-of-roundtrip): L=4 48.9 / L=8 76.8 / L=16 80.2 /
-              # L=32 71.5 M e/s — larger L shrinks the segment reduce
-              # faster than slot padding grows, until L=32
+SUB_LEN = 8   # slots per sub-run (power of two).  L=16 won every sweep
+              # while the merge was an XLA scatter whose cost grew with
+              # the sub-run count; the Pallas scan merge (round 4) made
+              # sub-runs nearly free, so the trade tipped to the slot
+              # padding side — on a Poisson-16 graph L=8 gathers 3.89M
+              # slots vs L=16's 4.58M.  Round-5 interleaved sweep under
+              # the scan merge (tools/probe_sublen3.py, net of adjacent
+              # trivials): L=8 hop 29.4ms / L=16 31.2ms / L=12 44.9ms
+              # (non-tile-aligned sublanes lose badly); SpMM d=128
+              # 10.8 vs 11.4ms.  History: tools/probe_sublen{,2}.py
 
 _PLAN_LIB = None
 _PLAN_TRIED = False
