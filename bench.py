@@ -189,8 +189,13 @@ def bench_tpu(src, dst, mh, hll):
 
     # the chunk-streamed plan — the production memory path whenever the
     # slot table exceeds max_gather_slots (citation2 scale).  Same hop,
-    # slot table split 4 ways, per-chunk Pallas merge on TPU.
-    chunked_plan = plan.chunk(S * L // 4)
+    # slot budget 1/4 of the one-shot table, built through make_auto_plan
+    # so the row tracks the production choice (CHUNK_SUB_LEN sub-runs +
+    # even chunk sizing + the per-chunk Pallas merge on TPU).
+    from subgraph_sketching_tpu.ops.segment_scan import make_auto_plan
+    chunked_plan = make_auto_plan(np.stack([src, dst]), NUM_NODES,
+                                  max_slots=S * L // 4)
+    assert type(chunked_plan).__name__ == "ChunkedSegmentPlan"
 
     @jax.jit
     def chunked_hop_scalar(mh, hll):
@@ -339,6 +344,12 @@ def bench_tpu(src, dst, mh, hll):
             "t_spmm_ms": round(net(t_spmm) * 1e3, 2),
             "t_gather_ms": round(net(t_sg) * 1e3, 2),
             "t_merge_ms": round(net(t_sm) * 1e3, 2),
+            # what the two measured parts leave: the fused slot-axis
+            # weighted sum (not measurable standalone — like the hop's
+            # t_gather_slot, XLA tiles it differently under a checksum
+            # consumer), named so the artifact self-describes
+            "t_residual_slot_reduce_ms": round(
+                (net(t_spmm) - net(t_sg) - net(t_sm)) * 1e3, 2),
             "parts_over_spmm": round(
                 (net(t_sg) + net(t_sm)) / net(t_spmm), 3),
         },
@@ -444,6 +455,7 @@ def main():
         "hop_vs_gather_bound": round(res["hop_vs_gather_bound"], 3),
         "iter_spread": round(res["iter_spread"], 3),
         "decomposition": res["decomposition"],
+        "chunked": res["chunked"],
         "features": res["features"],
         "spmm": res["spmm"],
         "stream_bw_gbps": res["stream_bw_gbps"],

@@ -721,11 +721,38 @@ def make_plan(edge_index: np.ndarray, num_nodes: int,
     return SortedSegmentPlan(np.asarray(edge_index), num_nodes, sub_len)
 
 
+CHUNK_SUB_LEN = 16  # sub-run slots for CHUNK-STREAMED plans.  The chunked
+                    # hop prefers longer sub-runs than the one-shot hop:
+                    # measured at the bench shape (tools/probe_r5_kernels
+                    # runs at both L), chunked L=16 = 1.00x its one-shot
+                    # vs chunked L=8 = 1.24x its (faster) one-shot — the
+                    # scan-sequenced chunks don't benefit from L=8's
+                    # smaller slot table the way the one-shot gather does
+
+
+def _estimated_slots(dst: np.ndarray, num_nodes: int, sub_len: int) -> int:
+    counts = np.bincount(dst, minlength=num_nodes)
+    return int(((counts + sub_len - 1) // sub_len).sum()) * sub_len
+
+
 def make_auto_plan(edge_index: np.ndarray, num_nodes: int,
-                   max_slots: Optional[int] = None, sub_len: int = SUB_LEN):
+                   max_slots: Optional[int] = None,
+                   sub_len: Optional[int] = None):
     """Plan with bounded device memory: one-shot when the slot table fits
-    ``max_slots`` rows, chunk-streamed (ChunkedSegmentPlan) otherwise."""
-    plan = SortedSegmentPlan(np.asarray(edge_index), num_nodes, sub_len)
+    ``max_slots`` rows, chunk-streamed (ChunkedSegmentPlan) otherwise.
+
+    With ``sub_len=None`` the sub-run length is chosen per form — SUB_LEN
+    for one-shot plans, CHUNK_SUB_LEN when the plan will chunk — decided
+    up front from a degree histogram (two bincounts, not a thrown-away
+    plan build)."""
+    ei = np.asarray(edge_index)
+    if sub_len is None:
+        sub_len = SUB_LEN
+        if max_slots and len(ei[0]) and \
+                _estimated_slots(np.asarray(ei[1], dtype=np.int64),
+                                 num_nodes, SUB_LEN) > max_slots:
+            sub_len = CHUNK_SUB_LEN
+    plan = SortedSegmentPlan(ei, num_nodes, sub_len)
     if max_slots and plan.num_subruns * plan.sub_len > max_slots:
         return plan.chunk(max_slots)
     return plan

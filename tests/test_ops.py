@@ -479,6 +479,34 @@ def test_chunked_plan_pallas_merge_matches_xla(monkeypatch):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_auto_plan_picks_sub_len_per_form():
+    """make_auto_plan(sub_len=None) chooses SUB_LEN for one-shot plans and
+    CHUNK_SUB_LEN when the slot table will exceed max_slots (the chunked
+    hop measured faster at longer sub-runs — see the constants)."""
+    from subgraph_sketching_tpu.ops.segment_scan import (
+        CHUNK_SUB_LEN, SUB_LEN, ChunkedSegmentPlan, make_auto_plan,
+    )
+
+    rng = np.random.default_rng(1)
+    n, e = 100, 2000
+    ei = np.stack([rng.integers(0, n, e),
+                   rng.integers(0, n, e)]).astype(np.int32)
+    one = make_auto_plan(ei, n)                       # no budget: one-shot
+    assert one.sub_len == SUB_LEN
+    small = make_auto_plan(ei, n, max_slots=256)      # must chunk
+    assert isinstance(small, ChunkedSegmentPlan)
+    assert small.sub_len == CHUNK_SUB_LEN
+    big = make_auto_plan(ei, n, max_slots=1 << 20)    # fits: one-shot
+    assert big.sub_len == SUB_LEN
+    forced = make_auto_plan(ei, n, max_slots=256, sub_len=4)
+    assert forced.sub_len == 4                        # explicit wins
+    # equality across the three forms
+    x = jnp.asarray(rng.integers(0, 2 ** 32 - 1, (n, 8), dtype=np.uint32))
+    want = np.asarray(one.reduce(x, "min"))
+    np.testing.assert_array_equal(np.asarray(small.reduce(x, "min")), want)
+    np.testing.assert_array_equal(np.asarray(forced.reduce(x, "min")), want)
+
+
 def test_reduce_tables_reach_pallas_merge_through_jit(monkeypatch):
     """reduce(tables=plan.reduce_tables) inside jit must keep the Pallas
     merge (the boundary tables ride as jit ARGUMENTS — the at-scale

@@ -32,7 +32,7 @@ def log(msg):
 log(f"=== citation2_scale {time.strftime('%H:%M:%S')} "
     f"dev={jax.devices()[0].platform} ===")
 
-from subgraph_sketching_tpu.ops.segment_scan import make_plan
+from subgraph_sketching_tpu.ops.segment_scan import make_auto_plan
 from subgraph_sketching_tpu.sketch.elph import subgraph_features
 from subgraph_sketching_tpu.sketch.params import SketchParams, Sketches
 
@@ -47,7 +47,7 @@ rng = np.random.default_rng(0)
 src = rng.integers(0, N, E, dtype=np.int32)
 dst = rng.integers(0, N, E, dtype=np.int32)
 t0 = time.perf_counter()
-plan = make_plan(np.stack([src, dst]), N).chunk(MAX_SLOTS)
+plan = make_auto_plan(np.stack([src, dst]), N, max_slots=MAX_SLOTS)
 log(f"host plan build: {time.perf_counter()-t0:.1f}s "
     f"chunks={plan.num_chunks} window={plan.window}")
 del src, dst
