@@ -73,7 +73,7 @@ def main():
         if ch:
             add("README.md",
                 r"Sketch propagation, chunk-streamed[^|]*\| "
-                r"\*\*(\d+(?:\.\d+)?)M edges/s\*\*",
+                r"\*\*(\d+(?:\.\d+)?)M edges/s",
                 ch["edges_per_s"] / 1e6, src=bench_p)
         sp = bench.get("spmm")
         if sp:
