@@ -114,6 +114,21 @@ def main():
                 r"B=262k\*\*",
                 dec["links_per_s_device"] / 1e6, src=serving_p)
 
+    quality, quality_p = load_json("QUALITY_r*.json")
+    if quality:
+        for row, regex in (
+            ("buddy-synth-ws",
+             r"\(BUDDY\) \| Hits@50 = \*\*(\d+(?:\.\d+)?) ±"),
+            ("elph-synth-ws",
+             r"\(ELPH\) \| Hits@50 = \*\*(\d+(?:\.\d+)?) ±"),
+            ("seal-dgcnn-synth-ws",
+             r"SEAL DGCNN \(best tier\), 10 reps \| Hits@50 = "
+             r"\*\*(\d+(?:\.\d+)?) ±"),
+        ):
+            v = (quality.get(row) or {}).get("test_mean")
+            if v is not None:
+                add("README.md", regex, v, tol=0.001, src=quality_p)
+
     scaling, scaling_p = load_json("SCALING_r*.json")
     if scaling:
         m = scaling.get("ici_model", {})
