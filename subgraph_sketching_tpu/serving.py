@@ -494,11 +494,15 @@ class LinkScorer:
         # "~100ms-class at citation2 scale" host term of docs/SERVING.md
         self._ensure_adj()
         delkeys = np.unique(self._edge_key(edges[:, 0], edges[:, 1]))
-        pos = np.searchsorted(self._out_keys, delkeys)
-        posc = np.minimum(pos, max(len(self._out_keys) - 1, 0))
-        in_csr = (len(self._out_keys) > 0) \
-            & (self._out_keys[posc] == delkeys) \
-            & ~self._keys_in_del(delkeys)
+        if len(self._out_keys):
+            pos = np.searchsorted(self._out_keys, delkeys)
+            posc = np.minimum(pos, len(self._out_keys) - 1)
+            in_csr = (self._out_keys[posc] == delkeys) \
+                & ~self._keys_in_del(delkeys)
+        else:
+            # numpy & does not short-circuit: indexing an empty key table
+            # must be guarded, not masked (zero-edge base graph serving)
+            in_csr = np.zeros(len(delkeys), bool)
         extra_keys = self._edge_key(self._extra_edges[0],
                                     self._extra_edges[1])
         mask_extra = np.isin(extra_keys, delkeys)

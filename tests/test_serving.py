@@ -639,6 +639,40 @@ def test_streaming_tombstones_compaction_and_directed_updates():
     check(scorer, current)
 
 
+def test_streaming_delete_on_empty_base_csr():
+    """Regression (round-5 review): the binary-search presence check
+    indexed an EMPTY key-sorted CSR (numpy & does not short-circuit) —
+    a scorer whose base graph has no edges (grow-by-streaming serving)
+    crashed on its first delete of freshly-inserted pairs."""
+    from subgraph_sketching_tpu.graph import Graph
+    from subgraph_sketching_tpu.graph.splits import SplitData
+
+    n = 60
+    cfg = Config(dataset_name="synth-ws", hidden_channels=16, batch_size=256,
+                 eval_batch_size=1024, model="BUDDY", K=20, use_feature=False)
+    rng = np.random.default_rng(0)
+    links = np.stack([rng.integers(0, n, 60),
+                      rng.integers(0, n, 60)], 1).astype(np.int32)
+    g = Graph(np.zeros((2, 0), np.int32), n)
+    sd = SplitData(graph=g, pos_edges=links[:30], neg_edges=links[30:])
+    ds = build_link_dataset(sd, cfg, "train")
+    tr = BuddyTrainer(cfg, ds, None)
+    state = tr.init_state(jax.random.PRNGKey(0))
+    sc = LinkScorer(tr, ds, state, min_bucket=64)
+    # host snapshot BEFORE mutating: streaming updates donate the resident
+    # buffers, so the pristine state must be captured, not rebuilt
+    mh0 = np.asarray(sc.sk.minhash).copy()
+    hll0 = np.asarray(sc.sk.hll).copy()
+    pairs = np.array([[1, 2], [3, 4]])
+    sc.insert_edges(pairs)
+    sc.delete_edges(pairs)          # crashed: IndexError on empty CSR
+    with np.testing.assert_raises(ValueError):
+        sc.delete_edges(pairs)      # now absent again -> clean error
+    # insert->delete round trip restores the never-mutated state
+    np.testing.assert_array_equal(np.asarray(sc.sk.minhash), mh0)
+    np.testing.assert_array_equal(np.asarray(sc.sk.hll), hll0)
+
+
 def test_delete_edges_weighted_with_RA():
     """Weighted deletion with --use_RA: degrees, the RA CSR, and the
     sketches must all equal a from-scratch scorer on the reduced WEIGHTED

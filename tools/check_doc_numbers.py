@@ -137,6 +137,12 @@ def main():
                 return m[row]["per_device_count"][dc]["efficiency"]
             except KeyError:
                 return None
+        rate = (m.get("strong_random", {}).get("assumptions", {})
+                .get("per_chip_edges_per_s"))
+        if rate:
+            add("docs/PARALLELISM.md",
+                r"artifact rate \((\d+(?:\.\d+)?)M e/s,\s+SCALING_r",
+                rate / 1e6, tol=0.001, src=scaling_p)
         ws8 = eff("strong_ws_shuffled", "8")
         rnd8 = eff("strong_random", "8")
         if ws8 is not None:

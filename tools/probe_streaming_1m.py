@@ -93,12 +93,33 @@ for _ in range(5):
 t_read = float(np.median(reads))
 log(f"fence-alone roundtrip p50: {t_read*1e3:.1f}ms")
 
+# original-CSR pairs to delete: deleting ONLY freshly-inserted pairs would
+# never leave _extra_edges, so the tombstone union + the _keys_in_del walk
+# filter + amortised compaction (the parts round 5 actually changed) would
+# go unmeasured.  Each delete batch is half fresh extras, half original
+# ws edges — the steady-state mix a long-running server sees.
+orig_und = np.unique(
+    np.sort(ei.T[ei[0] < ei[1]], axis=1), axis=0)
+orig_cursor = 0
+
+
+def orig_pairs(m):
+    global orig_cursor
+    out = orig_und[orig_cursor:orig_cursor + m]
+    orig_cursor += m
+    for u, v in out:
+        have.discard(int(u) * N + int(v))
+        have.discard(int(v) * N + int(u))
+    return out
+
+
 rows = {}
 for batch in (64, 1024):
     p = fresh_pairs(batch)
     t0 = time.time()
     sc.insert_edges(p)
-    sc.delete_edges(p)
+    sc.delete_edges(np.concatenate(
+        [p[: batch // 2], orig_pairs(batch - batch // 2)]))
     warm = time.time() - t0
     ins, dels, ins_host, del_host = [], [], [], []
     for _ in range(5):
@@ -108,14 +129,19 @@ for batch in (64, 1024):
         force(sc)
         ins.append(time.time() - t0 - t_read)
         ins_host.append(sc.last_update_stats["host_ms"])
+        dp = np.concatenate(
+            [p[: batch // 2], orig_pairs(batch - batch // 2)])
         t0 = time.time()
-        sc.delete_edges(p)
+        sc.delete_edges(dp)
         force(sc)
         dels.append(time.time() - t0 - t_read)
         del_host.append(sc.last_update_stats["host_ms"])
+    log(f"  live tombstones after batch {batch}: {len(sc._del_keys)}")
     med = lambda a: float(np.median(a))
     rows[str(batch)] = {
         "cold_roundtrip_ms": round(warm * 1e3),
+        "live_tombstones": int(len(sc._del_keys)),
+        "delete_mix": "half fresh extras, half original CSR edges",
         "insert_p50_ms_net": round(med(ins) * 1e3, 1),
         "insert_host_walk_ms": round(med(ins_host), 1),
         "delete_p50_ms_net": round(med(dels) * 1e3, 1),
