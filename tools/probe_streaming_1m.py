@@ -138,15 +138,25 @@ for batch in (64, 1024):
         del_host.append(sc.last_update_stats["host_ms"])
     log(f"  live tombstones after batch {batch}: {len(sc._del_keys)}")
     med = lambda a: float(np.median(a))
+
+    def net_or_none(samples):
+        # below the measurement floor (a jittery fence sample can exceed
+        # the op's own latency): record null, not a negative figure or an
+        # absurd ratio — probe_streaming_steady's guard
+        m = med(samples)
+        return round(m * 1e3, 1) if m > 0 else None
+
+    ratio = (round(med(dels) / med(ins), 2)
+             if med(ins) > 0 and med(dels) > 0 else None)
     rows[str(batch)] = {
         "cold_roundtrip_ms": round(warm * 1e3),
         "live_tombstones": int(len(sc._del_keys)),
         "delete_mix": "half fresh extras, half original CSR edges",
-        "insert_p50_ms_net": round(med(ins) * 1e3, 1),
+        "insert_p50_ms_net": net_or_none(ins),
         "insert_host_walk_ms": round(med(ins_host), 1),
-        "delete_p50_ms_net": round(med(dels) * 1e3, 1),
+        "delete_p50_ms_net": net_or_none(dels),
         "delete_host_walk_ms": round(med(del_host), 1),
-        "delete_over_insert": round(med(dels) / max(med(ins), 1e-9), 2),
+        "delete_over_insert": ratio,
     }
     log(f"batch {batch:5d}: cold {warm*1e3:7.0f}ms | net p50 insert "
         f"{med(ins)*1e3:6.1f}ms (host {med(ins_host):.1f}) delete "
