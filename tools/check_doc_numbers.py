@@ -99,14 +99,16 @@ def main():
         ss1m = serving.get("streaming_steady_1m")
         if ss1m:
             b = ss1m["batches"]["64"]
-            add("README.md",
-                r"1M nodes / 8M edges: insert (\d+(?:\.\d+)?)ms / delete "
-                r"\d+(?:\.\d+)?ms at B=64",
-                b["insert_p50_ms_net"], src=serving_p)
-            add("README.md",
-                r"1M nodes / 8M edges: insert \d+(?:\.\d+)?ms / delete "
-                r"(\d+(?:\.\d+)?)ms at B=64",
-                b["delete_p50_ms_net"], src=serving_p)
+            if b.get("insert_p50_ms_net") is not None:
+                add("README.md",
+                    r"1M nodes / 8M edges: insert (\d+(?:\.\d+)?)ms / "
+                    r"delete \d+(?:\.\d+)?ms at B=64",
+                    b["insert_p50_ms_net"], src=serving_p)
+            if b.get("delete_p50_ms_net") is not None:
+                add("README.md",
+                    r"1M nodes / 8M edges: insert \d+(?:\.\d+)?ms / delete "
+                    r"(\d+(?:\.\d+)?)ms at B=64",
+                    b["delete_p50_ms_net"], src=serving_p)
         dec = serving.get("decomposition_262k")
         if dec:
             add("README.md",
